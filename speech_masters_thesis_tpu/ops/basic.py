@@ -1,0 +1,51 @@
+"""Numeric primitives shared across models (pure jnp, jit-safe, static shapes).
+
+TPU-native counterparts of the reference's L0 layer:
+  * ``safe_log``        — reference utils/torch_utils.py:4-5
+  * ``sequence_mask``   — reference models/glow_tts/submodules.py:18-25
+  * ``generate_path``   — reference models/glow_tts/submodules.py:70-85
+
+All functions take explicit ``max_length`` so shapes stay static under jit
+(the reference derives max_length from data at runtime, which would retrace).
+Layout convention is NTC (batch, time, channels): time in sublanes, channels
+in lanes, so the feature axis maps onto the TPU's 128-wide vector lanes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def safe_log(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """log(max(x, eps)); clamps to avoid -inf on silence/zero bins."""
+    return jnp.log(jnp.clip(x, min=eps))
+
+
+def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
+    """[b] lengths -> [b, max_length] float32 mask (1 inside, 0 in padding)."""
+    positions = jnp.arange(max_length, dtype=lengths.dtype)
+    return (positions[None, :] < lengths[:, None]).astype(jnp.float32)
+
+
+def generate_path(duration: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Expands per-token durations into a hard monotonic alignment matrix.
+
+    duration: [b, t_x] (float or int counts of frames per token)
+    mask:     [b, t_x, t_y]
+    returns:  [b, t_x, t_y] 0/1 path
+
+    Same cumsum-difference construction as the reference
+    (models/glow_tts/submodules.py:70-85): row i covers frames
+    [cumdur[i-1], cumdur[i]).
+    """
+    b, t_x, t_y = mask.shape
+    cum_duration = jnp.cumsum(duration, axis=1)  # [b, t_x]
+    frame = jnp.arange(t_y, dtype=cum_duration.dtype)
+    # path_upper[i, j] = 1 if j < cumdur[i]
+    path_upper = (frame[None, None, :] < cum_duration[:, :, None]).astype(mask.dtype)
+    path_lower = jnp.pad(path_upper, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    return (path_upper - path_lower) * mask
+
+
+def lengths_from_mask(mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    return jnp.sum(mask, axis=axis)
