@@ -1,0 +1,109 @@
+"""Headline benchmark: VQ-VAE training throughput (mel-frames/sec/chip).
+
+Runs the full reference-scale VQ-VAE (emb 128, l_bins 512, gated_hifi,
+128x compression — configs/models/vqvae.yaml) through complete jitted train
+steps (forward + backward + Adam + codebook EMA) on the available device and
+prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "mel-frames/s/chip", "vs_baseline": R}
+
+vs_baseline compares against the measured PyTorch-CPU equivalent
+(tools/baseline_cpu.json, produced by tools/torch_baseline.py) — the
+reference publishes no numbers of its own (BASELINE.md). Target: >= 10x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 8
+CLIP_SECONDS = 3.0
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+HOP = 256
+
+
+def main():
+    import jax
+
+    from speech_masters_thesis_tpu.models.ema import default_mu
+    from speech_masters_thesis_tpu.parallel.mesh import (
+        enable_compilation_cache,
+        make_data_mesh,
+        place_replicated,
+        shard_batch,
+    )
+    from speech_masters_thesis_tpu.train.harness import get_model, init_model_variables
+    from speech_masters_thesis_tpu.train.loop import make_train_step
+    from speech_masters_thesis_tpu.train.optim import build_optimizer
+    from speech_masters_thesis_tpu.train.state import TrainState
+    from speech_masters_thesis_tpu.utils.config import Config, load_config
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    config = load_config(os.path.join(repo, "configs", "models", "vqvae.yaml"))
+    config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
+    config = config.merge(Config({"train": {
+        "log_dir": "/tmp/bench", "seed": 0, "batch_size": BATCH, "ema": True,
+        "grad_clip_norm": None, "fp16": False, "bf16": False, "num_workers": 0,
+        "n_devices": -1, "total_epochs": 1, "load_ckpt": None,
+        "ckpt_every_n_steps": 10 ** 9, "log_every_n_steps": 10 ** 9,
+        "eval_every_n_epochs": 1, "run_sanity_val_epoch": False, "max_steps": None,
+    }}))
+
+    enable_compilation_cache()
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = make_data_mesh(devices)
+
+    model = get_model(config)
+    variables = init_model_variables(model, config, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(config, None)
+    state = TrainState.create(variables, tx, use_ema=True)
+    state = place_replicated(mesh, state)
+    train_step = make_train_step(model, tx, default_mu(BATCH, n_chips), use_ema=True, mesh=mesh)
+
+    t_samples = int(CLIP_SECONDS * 22050) // 512 * 512
+    rng = np.random.RandomState(0)
+    batch = {
+        "audio": rng.uniform(-0.5, 0.5, (BATCH, t_samples)).astype(np.float32),
+        "audio_len": np.full((BATCH,), t_samples, np.int32),
+        "speaker": None,
+    }
+    device_batch = shard_batch(mesh, batch)
+    step_rng = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP_STEPS):
+        state, scalars = train_step(state, device_batch, step_rng)
+    jax.block_until_ready(scalars["loss"])
+
+    start = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        state, scalars = train_step(state, device_batch, step_rng)
+    jax.block_until_ready(scalars["loss"])
+    elapsed = time.perf_counter() - start
+
+    mel_frames = BATCH * t_samples / HOP * TIMED_STEPS
+    value = mel_frames / elapsed / n_chips
+
+    baseline_path = os.path.join(repo, "tools", "baseline_cpu.json")
+    vs_baseline = 0.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path, encoding="utf-8") as f:
+            baseline = json.load(f)
+        if baseline.get("value"):
+            vs_baseline = value / baseline["value"]
+
+    print(json.dumps({
+        "metric": "vqvae_train_mel_frames_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "mel-frames/s/chip",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Task base classes: how models consume the canonical 7-field batch.
+
+Rebuild of reference models/base.py:6-55. A batch is a dict with the keys
+
+    token, token_len, spect, spect_len, audio, audio_len, speaker
+
+(entries may be None when elided by the task type — reference
+utils/commons.py:38-43). Each task class defines ``supervised_step`` to
+route the right fields into ``__call__`` and attach the ground truth ``y``
+for artifact saving. ``TASK`` drives dataset feature elision and the
+trainer's artifact dispatch (reference train.py:296-299).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+
+TOKEN_TO_WAVEFORM = "token_to_waveform"
+WAVEFORM_RECONSTRUCTION = "waveform_reconstruction"
+TOKEN_TO_SPECTROGRAM = "token_to_spectrogram"
+SPECTROGRAM_RECONSTRUCTION = "spectrogram_reconstruction"
+
+# which batch features each task consumes (reference utils/commons.py:38-43)
+TASK_FEATURES = {
+    TOKEN_TO_WAVEFORM: {"use_token": True, "use_spect": False, "use_audio": True},
+    WAVEFORM_RECONSTRUCTION: {"use_token": False, "use_spect": False, "use_audio": True},
+    TOKEN_TO_SPECTROGRAM: {"use_token": True, "use_spect": True, "use_audio": False},
+    SPECTROGRAM_RECONSTRUCTION: {"use_token": False, "use_spect": True, "use_audio": False},
+}
+
+# whether validation artifacts are audio (compute mel) or mel (invert audio)
+TASK_OUTPUT = {
+    TOKEN_TO_WAVEFORM: "waveform",
+    WAVEFORM_RECONSTRUCTION: "waveform",
+    TOKEN_TO_SPECTROGRAM: "spectrogram",
+    SPECTROGRAM_RECONSTRUCTION: "spectrogram",
+}
+
+
+class TokenToWaveformModel(nn.Module):
+    """Maps input tokens to audio waveform."""
+
+    TASK = TOKEN_TO_WAVEFORM
+
+    def supervised_step(self, batch, train: bool = True):
+        loss_dict, metrics_dict = self(
+            batch["token"], batch["token_len"], batch["audio"], batch["audio_len"],
+            speaker=batch.get("speaker"), train=train,
+        )
+        loss_dict["y"] = batch["audio"]
+        return loss_dict, metrics_dict
+
+
+class WaveformReconstructionModel(nn.Module):
+    """Reconstructs audio waveform through encoding/decoding."""
+
+    TASK = WAVEFORM_RECONSTRUCTION
+
+    def supervised_step(self, batch, train: bool = True):
+        loss_dict, metrics_dict = self(
+            batch["audio"], batch["audio_len"], speaker=batch.get("speaker"), train=train,
+        )
+        loss_dict["y"] = batch["audio"]
+        return loss_dict, metrics_dict
+
+
+class TokenToSpectrogramModel(nn.Module):
+    """Maps input tokens to a spectrogram."""
+
+    TASK = TOKEN_TO_SPECTROGRAM
+
+    def supervised_step(self, batch, train: bool = True):
+        loss_dict, metrics_dict = self(
+            batch["token"], batch["token_len"], batch["spect"], batch["spect_len"],
+            speaker=batch.get("speaker"), train=train,
+        )
+        loss_dict["y"] = batch["spect"]
+        return loss_dict, metrics_dict
+
+
+class SpectrogramReconstructionModel(nn.Module):
+    """Reconstructs a spectrogram through encoding/decoding."""
+
+    TASK = SPECTROGRAM_RECONSTRUCTION
+
+    def supervised_step(self, batch, train: bool = True):
+        loss_dict, metrics_dict = self(
+            batch["spect"], batch["spect_len"], speaker=batch.get("speaker"), train=train,
+        )
+        loss_dict["y"] = batch["spect"]
+        return loss_dict, metrics_dict

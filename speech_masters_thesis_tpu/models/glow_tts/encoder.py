@@ -1,0 +1,176 @@
+"""Glow-TTS TextEncoder and FlowSpecDecoder (flax, NTC).
+
+Rebuild of reference models/glow_tts/modules.py:9-236.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speech_masters_thesis_tpu.models.glow_tts.attention import (
+    ChannelLayerNorm,
+    ConvReluNorm,
+    DurationPredictor,
+    FeedForwardNetwork,
+    RelativeSelfAttention,
+)
+from speech_masters_thesis_tpu.models.glow_tts.flows import ActNorm, CouplingBlock, InvConvNear
+from speech_masters_thesis_tpu.ops.basic import sequence_mask
+
+
+class TextEncoder(nn.Module):
+    """Token ids -> prior statistics (mean, log-std) + log durations.
+
+    Transformer-TTS-style stack of windowed relative attention + conv FFN
+    with post-LN residuals; duration predictor runs on stop-gradient features
+    (reference modules.py:95-131).
+    """
+
+    n_vocab: int
+    out_channels: int
+    hidden_channels: int
+    filter_channels: int
+    filter_channels_dp: int
+    n_heads: int
+    n_layers: int
+    kernel_size: int
+    p_dropout: float
+    window_size: int
+    mean_only: bool = False
+    prenet: bool = False
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
+                 speaker_embeddings: Optional[jnp.ndarray] = None, train: bool = True):
+        """text: [B, T] int -> (x_m, x_logs [B, T, out], logw [B, T], mask [B, T, 1])."""
+        emb = nn.Embed(self.n_vocab, self.hidden_channels,
+                       embedding_init=nn.initializers.normal(self.hidden_channels ** -0.5),
+                       name="emb")
+        x = emb(text) * math.sqrt(self.hidden_channels)  # [B, T, H]
+        x_mask = sequence_mask(text_lengths, x.shape[1])[..., None]  # [B, T, 1]
+
+        if self.prenet:
+            x = ConvReluNorm(self.hidden_channels, self.hidden_channels,
+                             kernel_size=5, n_layers=3, p_dropout=0.1, name="pre")(
+                x, x_mask, train=train)
+
+        attn_mask = x_mask[:, None, :, 0][..., None] * x_mask[:, None, None, :, 0]  # [B,1,T,T]
+        for i in range(self.n_layers):
+            x = x * x_mask
+            y = RelativeSelfAttention(
+                self.hidden_channels, self.hidden_channels, self.n_heads,
+                window_size=self.window_size, p_dropout=self.p_dropout,
+                name=f"attn_{i}")(x, x, attn_mask, train=train)
+            y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
+            x = ChannelLayerNorm(self.hidden_channels, name=f"norm1_{i}")(x + y)
+
+            y = FeedForwardNetwork(self.hidden_channels, self.filter_channels,
+                                   self.kernel_size, p_dropout=self.p_dropout,
+                                   name=f"ffn_{i}")(x, x_mask, train=train)
+            y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
+            x = ChannelLayerNorm(self.hidden_channels, name=f"norm2_{i}")(x + y)
+        x = x * x_mask
+
+        # duration predictor sees detached features (+ speaker cond)
+        x_dp = jax.lax.stop_gradient(x)
+        if speaker_embeddings is not None:
+            g_exp = jnp.broadcast_to(speaker_embeddings[:, None, :],
+                                     (x.shape[0], x.shape[1], speaker_embeddings.shape[-1]))
+            x_dp = jnp.concatenate([x_dp, g_exp], axis=-1)
+
+        x_m = nn.Conv(self.out_channels, (1,), name="proj_m")(x) * x_mask
+        if not self.mean_only:
+            x_logs = nn.Conv(self.out_channels, (1,), name="proj_s")(x) * x_mask
+        else:
+            x_logs = jnp.zeros_like(x_m)
+
+        logw = DurationPredictor(self.filter_channels_dp, self.kernel_size,
+                                 self.p_dropout, name="proj_w")(x_dp, x_mask, train=train)
+        return x_m, x_logs, logw, x_mask
+
+
+class FlowSpecDecoder(nn.Module):
+    """Invertible mel <-> latent map: n_blocks x (ActNorm, InvConvNear, Coupling)
+    over n_sqz-squeezed frames (reference modules.py:134-236)."""
+
+    in_channels: int
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    n_blocks: int
+    n_layers: int
+    p_dropout: float = 0.0
+    n_split: int = 4
+    n_sqz: int = 2
+    sigmoid_scale: bool = False
+    gin_channels: int = 0
+
+    def setup(self):
+        flows = []
+        for b in range(self.n_blocks):
+            flows.append(ActNorm(self.in_channels * self.n_sqz, name=f"actnorm_{b}"))
+            flows.append(InvConvNear(self.in_channels * self.n_sqz, self.n_split,
+                                     name=f"invconv_{b}"))
+            flows.append(CouplingBlock(
+                self.in_channels * self.n_sqz, self.hidden_channels,
+                kernel_size=self.kernel_size, dilation_rate=self.dilation_rate,
+                n_layers=self.n_layers, p_dropout=self.p_dropout,
+                sigmoid_scale=self.sigmoid_scale, gin_channels=self.gin_channels,
+                name=f"coupling_{b}"))
+        self.flows = flows
+
+    def __call__(self, spect: jnp.ndarray, spect_mask: jnp.ndarray,
+                 speaker_embeddings: Optional[jnp.ndarray] = None,
+                 reverse: bool = False, ddi: bool = False, train: bool = True):
+        """spect: [B, T, C]; spect_mask: [B, T, 1]."""
+        g = speaker_embeddings[:, None, :] if speaker_embeddings is not None else None
+        x, x_mask = spect, spect_mask
+        if self.n_sqz > 1:
+            x, x_mask = squeeze(x, x_mask, self.n_sqz)
+
+        logdet_tot = 0.0 if not reverse else None
+        flows = self.flows if not reverse else list(reversed(self.flows))
+        for f in flows:
+            if isinstance(f, CouplingBlock):
+                x, logdet = f(x, x_mask, g=g, reverse=reverse, ddi=ddi, train=train)
+            else:
+                x, logdet = f(x, x_mask, g=g, reverse=reverse, ddi=ddi)
+            if not reverse:
+                logdet_tot += logdet
+
+        if self.n_sqz > 1:
+            x, x_mask = unsqueeze(x, x_mask, self.n_sqz)
+        return x, logdet_tot
+
+
+def squeeze(x: jnp.ndarray, x_mask: Optional[jnp.ndarray] = None, n_sqz: int = 2):
+    """Folds n_sqz consecutive frames into channels: [B,T,C] -> [B,T/n,n*C].
+
+    Channel layout is n_sqz-major, matching reference modules.py:208-220.
+    """
+    b, t, c = x.shape
+    t = (t // n_sqz) * n_sqz
+    x = x[:, :t]
+    x_sqz = x.reshape(b, t // n_sqz, n_sqz * c)
+    if x_mask is not None:
+        x_mask = x_mask[:, n_sqz - 1::n_sqz]
+    else:
+        x_mask = jnp.ones((b, t // n_sqz, 1), x.dtype)
+    return x_sqz * x_mask, x_mask
+
+
+def unsqueeze(x: jnp.ndarray, x_mask: Optional[jnp.ndarray] = None, n_sqz: int = 2):
+    """[B,T,n*C] -> [B,T*n,C] (inverse of squeeze)."""
+    b, t, c = x.shape
+    x_unsqz = x.reshape(b, t * n_sqz, c // n_sqz)
+    if x_mask is not None:
+        x_mask = jnp.repeat(x_mask, n_sqz, axis=1)
+    else:
+        x_mask = jnp.ones((b, t * n_sqz, 1), x.dtype)
+    return x_unsqz * x_mask, x_mask

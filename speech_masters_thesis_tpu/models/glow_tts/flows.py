@@ -1,0 +1,231 @@
+"""Invertible flow layers for Glow-TTS (flax, NTC).
+
+Rebuild of reference models/glow_tts/submodules.py:167-400:
+  * ActNorm with data-dependent init (DDI): init statistics are computed
+    *inside* a dedicated ddi pass (mutable 'ddi_stats' collection) and then
+    grafted into params host-side — replacing the reference's in-place
+    buffer mutation + checkpoint-as-broadcast dance (train.py:409-420).
+  * InvConvNear: invertible grouped 1x1 conv (QR-initialized, det > 0) with
+    closed-form log|det|; the 4x4 inverse in the reverse pass is computed
+    on the fly (jnp.linalg.inv on a tiny matrix).
+  * CouplingBlock: affine coupling with a weight-normalized WaveNet
+    conditioner; the gated tanh*sigmoid fuse is a single XLA fusion (the
+    reference needed a TorchScript kernel for this, submodules.py:88-95).
+
+All layers share the signature (x, mask, g=None, reverse=False, ddi=False)
+-> (z, logdet). x is [B, T, C]; mask [B, T, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized conv1d: w = g * v / ||v|| per output channel.
+
+    Matches torch.nn.utils.weight_norm(Conv1d) (norm over in x kernel dims),
+    used throughout the reference WN conditioner (submodules.py:183-206).
+    """
+
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        v = self.param("v", nn.initializers.lecun_normal(),
+                       (self.kernel_size, in_features, self.features))
+        # torch init: g = ||w||; with lecun-init v this starts near ||v||
+        g = self.param("g", lambda key, shape: jnp.linalg.norm(
+            v.reshape(-1, self.features), axis=0), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+        kernel = v * (g / jnp.maximum(norm, 1e-12))[None, None, :]
+        pad = ((self.kernel_size - 1) * self.dilation) // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return y + bias
+
+
+class ActNorm(nn.Module):
+    """Per-channel affine with DDI (reference submodules.py:241-286)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, g=None, reverse: bool = False, ddi: bool = False):
+        if mask is None:
+            mask = jnp.ones((x.shape[0], x.shape[1], 1), x.dtype)
+        logs = self.param("logs", nn.initializers.zeros, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+
+        if ddi:
+            # masked per-channel mean/var of the incoming activations
+            denom = jnp.maximum(jnp.sum(mask, axis=(0, 1)), 1.0)
+            m = jnp.sum(x * mask, axis=(0, 1)) / denom
+            m_sq = jnp.sum(x * x * mask, axis=(0, 1)) / denom
+            v = m_sq - m * m
+            logs_init = -0.5 * jnp.log(jnp.clip(v, min=1e-6))
+            bias_init = -m * jnp.exp(logs_init)
+            # expose for host-side grafting into params (train.py ddi flow)
+            self.sow("ddi_stats", "logs", logs_init, reduce_fn=lambda a, b: b)
+            self.sow("ddi_stats", "bias", bias_init, reduce_fn=lambda a, b: b)
+            logs, bias = logs_init, bias_init
+
+        x_len = jnp.sum(mask, axis=(1, 2))  # [b]
+        if reverse:
+            z = (x - bias) * jnp.exp(-logs) * mask
+            logdet = None
+        else:
+            z = (bias + jnp.exp(logs) * x) * mask
+            logdet = jnp.sum(logs) * x_len
+        return z, logdet
+
+
+class InvConvNear(nn.Module):
+    """Invertible grouped 1x1 conv over n_split-sized channel groups."""
+
+    channels: int
+    n_split: int = 4
+    no_jacobian: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, g=None, reverse: bool = False, ddi: bool = False):
+        b, t, c = x.shape
+        assert c % self.n_split == 0
+
+        def qr_init(key, shape):
+            w = jax.random.normal(key, shape)
+            q = jnp.linalg.qr(w)[0]
+            # fix determinant sign to +1
+            q = jnp.where(jnp.linalg.det(q) < 0, q.at[:, 0].multiply(-1.0), q)
+            return q
+
+        weight = self.param("weight", qr_init, (self.n_split, self.n_split))
+
+        if mask is None:
+            mask = jnp.ones((b, t, 1), x.dtype)
+            x_len = jnp.full((b,), t, x.dtype)
+        else:
+            x_len = jnp.sum(mask, axis=(1, 2))
+
+        # channel grouping identical to reference submodules.py:312-313:
+        # c factors as (2, c//s, s//2); group axis = (half, within-half)
+        s = self.n_split
+        xg = x.reshape(b, t, 2, c // s, s // 2)
+        xg = xg.transpose(0, 1, 2, 4, 3).reshape(b, t, s, c // s)
+
+        if reverse:
+            w = jnp.linalg.inv(weight.astype(jnp.float32)).astype(weight.dtype)
+            logdet = None
+        else:
+            w = weight
+            if self.no_jacobian:
+                logdet = 0
+            else:
+                _, slogdet = jnp.linalg.slogdet(weight)
+                # torch.logdet returns sign*|det| log; det>0 by construction
+                logdet = slogdet * (c / s) * x_len
+
+        z = jnp.einsum("btsc,ks->btkc", xg, w)
+        z = z.reshape(b, t, 2, s // 2, c // s).transpose(0, 1, 2, 4, 3).reshape(b, t, c)
+        return z * mask, logdet
+
+
+class WN(nn.Module):
+    """WaveNet conditioner with weight-norm and gated activations."""
+
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    n_layers: int
+    p_dropout: float = 0.0
+    gin_channels: int = 0
+
+    @nn.compact
+    def __call__(self, x, mask=None, g=None, train: bool = True):
+        assert self.kernel_size % 2 == 1
+        assert self.hidden_channels % 2 == 0
+        if mask is None:
+            mask = 1.0
+        output = jnp.zeros_like(x)
+
+        if g is not None:
+            g = WNConv1d(2 * self.hidden_channels * self.n_layers, 1, name="cond_layer")(g)
+
+        for i in range(self.n_layers):
+            dilation = self.dilation_rate ** i
+            x_in = WNConv1d(2 * self.hidden_channels, self.kernel_size, dilation,
+                            name=f"in_{i}")(x)
+            x_in = nn.Dropout(self.p_dropout, deterministic=not train)(x_in)
+            if g is not None:
+                g_l = g[..., i * 2 * self.hidden_channels:(i + 1) * 2 * self.hidden_channels]
+            else:
+                g_l = jnp.zeros_like(x_in)
+            # fused add-tanh-sigmoid gate: plain jnp; XLA fuses it into one
+            # elementwise kernel (the reference's TorchScript trick)
+            z = x_in + g_l
+            acts = jnp.tanh(z[..., :self.hidden_channels]) * nn.sigmoid(z[..., self.hidden_channels:])
+
+            res_skip_channels = 2 * self.hidden_channels if i < self.n_layers - 1 else self.hidden_channels
+            res_skip = WNConv1d(res_skip_channels, 1, name=f"res_skip_{i}")(acts)
+            if i < self.n_layers - 1:
+                x = (x + res_skip[..., :self.hidden_channels]) * mask
+                output = output + res_skip[..., self.hidden_channels:]
+            else:
+                output = output + res_skip
+        return output * mask
+
+
+class CouplingBlock(nn.Module):
+    """Affine coupling: transform the second channel half conditioned on the first."""
+
+    in_channels: int
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    n_layers: int
+    gin_channels: int = 0
+    p_dropout: float = 0.0
+    sigmoid_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, g=None, reverse: bool = False,
+                 ddi: bool = False, train: bool = True):
+        if mask is None:
+            mask = 1.0
+        half = self.in_channels // 2
+        x_0, x_1 = x[..., :half], x[..., half:]
+
+        h = WNConv1d(self.hidden_channels, 1, name="start")(x_0) * mask
+        h = WN(self.hidden_channels, self.kernel_size, self.dilation_rate,
+               self.n_layers, self.p_dropout, self.gin_channels, name="wn")(h, mask, g, train=train)
+        # zero-init end conv: coupling starts as identity (submodules.py:365-370)
+        out = nn.Conv(self.in_channels, (1,), kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, name="end")(h)
+
+        m = out[..., :half]
+        logs = out[..., half:]
+        if self.sigmoid_scale:
+            logs = jnp.log(1e-6 + nn.sigmoid(logs + 2))
+
+        if reverse:
+            z_1 = (x_1 - m) * jnp.exp(-logs) * mask
+            logdet = None
+        else:
+            z_1 = (m + jnp.exp(logs) * x_1) * mask
+            logdet = jnp.sum(logs * mask, axis=(1, 2))
+
+        return jnp.concatenate([x_0, z_1], axis=-1), logdet

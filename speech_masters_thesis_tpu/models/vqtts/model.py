@@ -1,0 +1,219 @@
+"""VQ-TTS: end-to-end text -> waveform with grouped quantization (flax, NTC).
+
+Rebuild of reference models/vqtts/vqtts.py:16-191: Glow-TTS TextEncoder +
+VQ-VAE audio codec, aligned by MAS over negative pairwise L2 distances, with
+a grouped (per-phoneme) bottleneck and a code-prediction head. The 6-term
+loss (recon + stft + commit + duration + align + CE) is reproduced.
+
+Wiring note (SURVEY §2.3): the reference constructs the *base*
+BottleneckBlock but calls it with the grouped signature — the grouped
+bottleneck keyed by aligned phoneme id is the intended component and is what
+this model wires.
+
+TPU-first: MAS runs on-device; the [B, T_x, T_y] pairwise distance table is
+computed as one batched matmul expansion (||a-b||^2 = |a|^2 - 2ab + |b|^2)
+instead of the reference's broadcast-subtract (vqtts.py:136), which
+materializes a [B, C, T_x, T_y] intermediate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speech_masters_thesis_tpu.models.base import TokenToWaveformModel
+from speech_masters_thesis_tpu.models.glow_tts.encoder import TextEncoder
+from speech_masters_thesis_tpu.models.vqtts.bottleneck import GroupedBottleneck
+from speech_masters_thesis_tpu.models.vqvae.blocks import ResNetBlock
+from speech_masters_thesis_tpu.models.vqvae.encdec import Decoder, Encoder
+from speech_masters_thesis_tpu.ops.basic import safe_log, sequence_mask
+from speech_masters_thesis_tpu.ops.losses import (
+    MultiNormReconstructionLoss,
+    MultiResolutionSpectralLoss,
+    cross_entropy,
+)
+from speech_masters_thesis_tpu.ops.mas import maximum_path
+from speech_masters_thesis_tpu.utils.config import Config
+
+
+def pairwise_l2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(|a_i - b_j|^2) for a [B, T_x, C], b [B, T_y, C] -> [B, T_x, T_y]."""
+    a32, b32 = a.astype(jnp.float32), b.astype(jnp.float32)
+    sq = (jnp.sum(a32 * a32, axis=-1)[:, :, None]
+          - 2.0 * jnp.einsum("btc,byc->bty", a32, b32)
+          + jnp.sum(b32 * b32, axis=-1)[:, None, :])
+    return jnp.sqrt(jnp.maximum(sq, 1e-12))
+
+
+class VQTTS(TokenToWaveformModel):
+
+    config: dict
+
+    def setup(self):
+        full_cfg = Config(self.config)
+        cfg = full_cfg.model
+        ds = full_cfg.dataset
+        self.l_bins = cfg.l_bins
+        self.l_commit = cfg.loss.commit
+        self.l_stft = cfg.loss.multispectral
+        self.l_align = cfg.loss.align
+
+        if cfg.n_speakers > 1:
+            self.emb_g = nn.Embed(cfg.n_speakers, cfg.gin_channels,
+                                  embedding_init=nn.initializers.uniform(0.1))
+        else:
+            self.emb_g = None
+
+        codec_common = dict(
+            input_emb_width=1,
+            output_emb_width=cfg.emb_width,
+            levels=cfg.levels,
+            downs_t=tuple(cfg.downs_t),
+            strides_t=tuple(cfg.strides_t),
+            width=cfg.width * cfg.multipliers[-1],
+            depth=cfg.depth * cfg.multipliers[-1],
+            m_conv=cfg.m_conv,
+            block_type=cfg.block_type,
+            dilation_growth_rate=cfg.dilation_growth_rate,
+            dilation_cycle=cfg.dilation_cycle,
+            kernel_size_growth_rate=cfg.kernel_size_growth_rate,
+            kernel_size_cycle=cfg.kernel_size_cycle,
+            zero_out=cfg.zero_out,
+        )
+        self.audio_encoder = Encoder(**codec_common)
+        self.audio_decoder = Decoder(reverse_decoder_dilation=cfg.reverse_decoder_dilation,
+                                     **codec_common)
+        self.text_encoder = TextEncoder(
+            n_vocab=cfg.encoder.n_vocab + int(ds.intersperse_blanks),
+            out_channels=cfg.encoder.out_channels,
+            hidden_channels=cfg.encoder.hidden_channels,
+            filter_channels=cfg.encoder.filter_channels,
+            filter_channels_dp=cfg.encoder.filter_channels,
+            n_heads=cfg.encoder.n_heads,
+            n_layers=cfg.encoder.n_layers,
+            kernel_size=cfg.encoder.kernel_size,
+            p_dropout=cfg.encoder.p_dropout,
+            window_size=cfg.encoder.window_size,
+            mean_only=cfg.encoder.mean_only,
+            prenet=cfg.encoder.prenet,
+            gin_channels=cfg.gin_channels,
+        )
+        n_vocab = cfg.encoder.n_vocab + int(ds.intersperse_blanks)
+        self.quant_bottleneck = GroupedBottleneck(
+            k_bins=n_vocab * cfg.l_bins,
+            emb_width=cfg.emb_width,
+            mu=cfg.mu,
+            threshold=cfg.revival_threshold,
+            n_vocab=n_vocab,
+            l_bins=cfg.l_bins,
+        )
+        self.quant_decoder = ResNetBlock(
+            n_in=cfg.encoder.out_channels,
+            n_depth=4,
+            m_conv=2.0,
+            dilation_growth_rate=3,
+            dilation_cycle=None,
+            zero_out=True,
+            res_scale=False,
+            reverse_dilation=True,
+        )
+        self.quant_proj = nn.Conv(cfg.l_bins, (1,))
+
+        self.multi_stft_loss = MultiResolutionSpectralLoss(
+            n_ffts=tuple(cfg.loss.n_ffts),
+            hop_lengths=tuple(cfg.loss.hop_lengths),
+            win_lengths=tuple(cfg.loss.win_lengths) if cfg.loss.win_lengths else None,
+            log=cfg.loss.log,
+        )
+        self.multi_recon_loss = MultiNormReconstructionLoss(
+            l1=cfg.loss.l1, l2=cfg.loss.l2, linf=cfg.loss.linf, linf_topk=cfg.loss.linf_topk,
+        )
+
+    @staticmethod
+    def dummy_batch(config) -> dict:
+        factor = 1
+        for down, stride in zip(config.model.downs_t, config.model.strides_t):
+            factor *= stride ** down
+        t_audio = factor * 16
+        t_text = 8
+        return {
+            "token": jnp.zeros((1, t_text), jnp.int32),
+            "token_len": jnp.full((1,), t_text, jnp.int32),
+            "audio": jnp.zeros((1, t_audio), jnp.float32),
+            "audio_len": jnp.full((1,), t_audio, jnp.int32),
+            "speaker": None,
+        }
+
+    def __call__(self, x: jnp.ndarray, x_lengths: jnp.ndarray,
+                 y: jnp.ndarray, y_lengths: jnp.ndarray,
+                 speaker: Optional[jnp.ndarray] = None, train: bool = True):
+        """x: [B, T_x] token ids; y: [B, T_y] waveform."""
+        speaker_embeddings = self.emb_g(speaker[..., 0]) if (self.emb_g is not None
+                                                             and speaker is not None) else None
+
+        # Encode text
+        x_enc, _, logw_enc, x_mask = self.text_encoder(
+            x, x_lengths, speaker_embeddings=speaker_embeddings, train=train)
+
+        # Encode audio
+        y_mask = sequence_mask(y_lengths, y.shape[-1])  # [B, T_y]
+        y_enc, q_mask = self.audio_encoder(y[..., None], y_mask[..., None], train=train)
+        q_mask_flat = q_mask[..., 0]  # [B, T_q]
+
+        # MAS over negative pairwise distances between text and audio encodings
+        distances = pairwise_l2(x_enc, y_enc)  # [B, T_x, T_q]
+        attn_mask = x_mask[:, :, 0][:, :, None] * q_mask_flat[:, None, :]
+        attn = jax.lax.stop_gradient(
+            maximum_path(-jax.lax.stop_gradient(distances), attn_mask))
+
+        # Grouped quantize/dequantize audio encodings
+        y_q, y_d, loss_commit, quant_metrics = self.quant_bottleneck(
+            y_enc, x, attn, update_k=train)
+
+        # Predict (relative) codes from aligned, detached text encodings
+        aligned_text = jax.lax.stop_gradient(jnp.einsum("btq,btc->bqc", attn, x_enc))
+        y_qh, _ = self.quant_decoder(aligned_text, q_mask, train=train)
+        y_qh = self.quant_proj(y_qh * q_mask)  # [B, T_q, l_bins]
+
+        # Decode audio from quantized encodings
+        y_h, _ = self.audio_decoder([y_d], [q_mask], all_levels=False, train=train)
+        y_h = y_h[..., 0]
+
+        # Losses (reference vqtts.py:150-168)
+        logw_dec = safe_log(jnp.sum(attn, axis=-1)) * x_mask[:, :, 0]
+        loss_recon = self.multi_recon_loss(y, y_h, y_mask)
+        loss_stft = self.multi_stft_loss(y, y_h, y_mask)
+        loss_dur = jnp.sum((logw_enc - logw_dec) ** 2) / jnp.sum(x_lengths)
+        loss_align = jnp.sum(distances * attn) / jnp.maximum(jnp.sum(attn_mask), 1.0)
+        ce_logits = y_qh.reshape(-1, self.l_bins)
+        loss_ce = cross_entropy(ce_logits, y_q.reshape(-1))
+
+        loss = (loss_recon + self.l_stft * loss_stft + self.l_commit * loss_commit
+                + loss_dur + self.l_align * loss_align + loss_ce)
+
+        # Eval path decodes from *predicted* codes (reference vqtts.py:175-178).
+        # NOTE: like the reference, the RELATIVE index goes straight into the
+        # full codebook (the absolute-index variant is commented out in the
+        # reference at vqtts.py:170-174) — reproduced behaviorally.
+        if not train:
+            q_pred_rel = jnp.argmax(y_qh, axis=-1)  # [B, T_q]
+            y_d_pred = jnp.take(self.quant_bottleneck.k.value, q_pred_rel, axis=0)
+            y_h, _ = self.audio_decoder([y_d_pred], [q_mask], all_levels=False, train=False)
+            y_h = y_h[..., 0]
+
+        q_acc = jnp.mean((jnp.argmax(y_qh, axis=-1) == y_q).astype(jnp.float32))
+        return {
+            "loss": loss,
+            "loss_recon": loss_recon,
+            "loss_stft": loss_stft,
+            "loss_commit": loss_commit,
+            "loss_dur": loss_dur,
+            "loss_align": loss_align / (1 + self.l_align),
+            "loss_ce": loss_ce,
+            "yh": y_h,
+        }, {
+            "q_acc": q_acc,
+        }

@@ -1,0 +1,256 @@
+"""VQ-VAE hierarchical conv encoder/decoder (flax, NTC).
+
+Rebuild of reference models/vqvae/conv.py and encdec.py:
+  * masked strided convs that subsample the mask along with the signal
+  * per-down-step residual blocks from the block zoo
+  * mirrored transposed-conv upsampling in the decoder
+
+Strided downsampling uses filter = 2*stride, pad = stride//2 so lengths
+divide exactly (reference conv.py:61); the transposed conv uses the matching
+geometry so decoder lengths are exactly T * stride**down.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from speech_masters_thesis_tpu.models.vqvae.blocks import get_block
+
+
+class ConvTranspose1d(nn.Module):
+    """Torch-semantics ConvTranspose1d: out_len = (T-1)*stride - 2*pad + kernel."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.features, in_features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_transpose(
+            x, kernel,
+            strides=(self.stride,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            transpose_kernel=True,
+        )
+        return y + bias
+
+
+class MaskedConv1d(nn.Module):
+    """Conv over masked input; mask is stride-subsampled (reference conv.py:5-10)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        x = nn.Conv(
+            self.features, (self.kernel_size,),
+            strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+        )(x * mask)
+        return x, mask[:, ::self.stride]
+
+
+class MaskedConvTranspose1d(nn.Module):
+    """Transposed conv over masked input; mask is repeated (reference conv.py:13-18)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        x = ConvTranspose1d(self.features, self.kernel_size, self.stride, self.padding)(x * mask)
+        return x, jnp.repeat(mask, self.stride, axis=1)
+
+
+class EncoderConvBlock(nn.Module):
+    """down_t x (strided masked conv + residual block), then 3x1 out conv."""
+
+    input_emb_width: int
+    output_emb_width: int
+    down_t: int
+    stride_t: int
+    block_type: str
+    width: int
+    depth: int
+    m_conv: float
+    dilation_growth_rate: int = 1
+    dilation_cycle: Optional[int] = None
+    kernel_size_growth_rate: int = 2
+    kernel_size_cycle: Optional[int] = None
+    zero_out: bool = True
+    res_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
+        if self.down_t <= 0:
+            return x, mask
+        Block = get_block(self.block_type)
+        filter_t, pad_t = self.stride_t * 2, self.stride_t // 2
+        for i in range(self.down_t):
+            x, mask = MaskedConv1d(self.width, filter_t, self.stride_t, pad_t)(x, mask)
+            x, mask = Block(
+                self.width, self.depth, m_conv=self.m_conv,
+                dilation_growth_rate=self.dilation_growth_rate,
+                dilation_cycle=self.dilation_cycle,
+                kernel_size_growth_rate=self.kernel_size_growth_rate,
+                kernel_size_cycle=self.kernel_size_cycle,
+                zero_out=self.zero_out, res_scale=self.res_scale,
+            )(x, mask, train=train)
+        x, mask = MaskedConv1d(self.output_emb_width, 3, 1, 1)(x, mask)
+        return x, mask
+
+
+class DecoderConvBlock(nn.Module):
+    """3x1 in conv, then down_t x (residual block + strided masked transposed conv)."""
+
+    input_emb_width: int
+    output_emb_width: int
+    down_t: int
+    stride_t: int
+    block_type: str
+    width: int
+    depth: int
+    m_conv: float
+    dilation_growth_rate: int = 1
+    dilation_cycle: Optional[int] = None
+    kernel_size_growth_rate: int = 2
+    kernel_size_cycle: Optional[int] = None
+    zero_out: bool = True
+    res_scale: bool = False
+    reverse_decoder_dilation: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
+        if self.down_t <= 0:
+            return x, mask
+        Block = get_block(self.block_type)
+        filter_t, pad_t = self.stride_t * 2, self.stride_t // 2
+        x, mask = MaskedConv1d(self.width, 3, 1, 1)(x, mask)
+        for i in range(self.down_t):
+            block_kwargs = dict(
+                m_conv=self.m_conv,
+                dilation_growth_rate=self.dilation_growth_rate,
+                dilation_cycle=self.dilation_cycle,
+                kernel_size_growth_rate=self.kernel_size_growth_rate,
+                kernel_size_cycle=self.kernel_size_cycle,
+                zero_out=self.zero_out, res_scale=self.res_scale,
+            )
+            if self.block_type == "base":
+                block_kwargs["reverse_dilation"] = self.reverse_decoder_dilation
+            x, mask = Block(self.width, self.depth, **block_kwargs)(x, mask, train=train)
+            out_width = self.input_emb_width if i == (self.down_t - 1) else self.width
+            x, mask = MaskedConvTranspose1d(out_width, filter_t, self.stride_t, pad_t)(x, mask)
+        return x, mask
+
+
+class Encoder(nn.Module):
+    """Multi-level encoder; level L output is downsampled prod(stride**down) x.
+
+    Reference models/vqvae/encdec.py:6-40. NOTE on ``reverse_decoder_dilation``:
+    it is decoder-only in the reference and stripped from encoder kwargs
+    (encdec.py:16-18); callers here simply don't pass it.
+    """
+
+    input_emb_width: int
+    output_emb_width: int
+    levels: int
+    downs_t: Sequence[int]
+    strides_t: Sequence[int]
+    block_type: str
+    width: int
+    depth: int
+    m_conv: float
+    dilation_growth_rate: int = 1
+    dilation_cycle: Optional[int] = None
+    kernel_size_growth_rate: int = 2
+    kernel_size_cycle: Optional[int] = None
+    zero_out: bool = True
+    res_scale: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
+        """x: [B, T, input_emb_width]; mask: [B, T, 1] -> ([B, T', C], [B, T', 1])."""
+        for level, down_t, stride_t in zip(range(self.levels), self.downs_t, self.strides_t):
+            x, mask = EncoderConvBlock(
+                self.input_emb_width if level == 0 else self.output_emb_width,
+                self.output_emb_width,
+                down_t, stride_t, self.block_type,
+                self.width, self.depth, self.m_conv,
+                dilation_growth_rate=self.dilation_growth_rate,
+                dilation_cycle=self.dilation_cycle,
+                kernel_size_growth_rate=self.kernel_size_growth_rate,
+                kernel_size_cycle=self.kernel_size_cycle,
+                zero_out=self.zero_out, res_scale=self.res_scale,
+                name=f"level_{level}",
+            )(x, mask, train=train)
+        return x, mask
+
+
+class Decoder(nn.Module):
+    """Mirrored multi-level decoder with optional cross-level skip sums.
+
+    Reference models/vqvae/encdec.py:43-83.
+    """
+
+    input_emb_width: int
+    output_emb_width: int
+    levels: int
+    downs_t: Sequence[int]
+    strides_t: Sequence[int]
+    block_type: str
+    width: int
+    depth: int
+    m_conv: float
+    dilation_growth_rate: int = 1
+    dilation_cycle: Optional[int] = None
+    kernel_size_growth_rate: int = 2
+    kernel_size_cycle: Optional[int] = None
+    zero_out: bool = True
+    res_scale: bool = False
+    reverse_decoder_dilation: bool = False
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray],
+                 all_levels: bool = True, train: bool = True):
+        if all_levels:
+            assert len(xs) == len(masks) == self.levels
+        else:
+            assert len(xs) == len(masks) == 1
+        x, mask = xs[-1], masks[-1]
+        for level, down_t, stride_t in reversed(
+                list(zip(range(self.levels), self.downs_t, self.strides_t))):
+            x, mask = DecoderConvBlock(
+                self.output_emb_width,
+                self.output_emb_width,
+                down_t, stride_t, self.block_type,
+                self.width, self.depth, self.m_conv,
+                dilation_growth_rate=self.dilation_growth_rate,
+                dilation_cycle=self.dilation_cycle,
+                kernel_size_growth_rate=self.kernel_size_growth_rate,
+                kernel_size_cycle=self.kernel_size_cycle,
+                zero_out=self.zero_out, res_scale=self.res_scale,
+                reverse_decoder_dilation=self.reverse_decoder_dilation,
+                name=f"level_{level}",
+            )(x, mask, train=train)
+            if level != 0 and all_levels:
+                x = x + xs[level - 1]
+        x = nn.Conv(self.input_emb_width, (1,), name="out")(x * mask)
+        return x, mask

@@ -21,6 +21,19 @@ def safe_log(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return jnp.log(jnp.clip(x, min=eps))
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a zero (not NaN/inf) gradient at x == 0.
+
+    d/dx sqrt(x) -> inf as x -> 0; masked losses multiply that by a zero mask
+    and 0 * inf = NaN poisons the whole gradient. The double-where trick keeps
+    the forward value bit-exact while zeroing the cotangent at x == 0
+    (exact-zero spectral bins occur for constant/silent frames).
+    """
+    positive = x > 0
+    guarded = jnp.where(positive, x, 1.0)
+    return jnp.where(positive, jnp.sqrt(guarded), 0.0)
+
+
 def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
     """[b] lengths -> [b, max_length] float32 mask (1 inside, 0 in padding)."""
     positions = jnp.arange(max_length, dtype=lengths.dtype)

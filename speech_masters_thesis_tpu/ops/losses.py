@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speech_masters_thesis_tpu.ops.basic import safe_log
+from speech_masters_thesis_tpu.ops.basic import safe_log, safe_sqrt
 from speech_masters_thesis_tpu.ops.stft import STFT
 
 
@@ -69,10 +69,10 @@ class MultiResolutionSpectralLoss:
             yh_mag = stft(yh)
             frame_mask = downsample_mask(mask, stft.n_fft, stft.hop_length)[:, :, None]
             diff = (y_mag - yh_mag) * frame_mask
-            loss += jnp.mean(jnp.sqrt(jnp.sum(diff * diff, axis=(1, 2))))
+            loss += jnp.mean(safe_sqrt(jnp.sum(diff * diff, axis=(1, 2))))
             if self.log:
                 log_diff = (safe_log(y_mag) - safe_log(yh_mag)) * frame_mask
-                loss += jnp.mean(jnp.sqrt(jnp.sum(log_diff * log_diff, axis=(1, 2))))
+                loss += jnp.mean(safe_sqrt(jnp.sum(log_diff * log_diff, axis=(1, 2))))
         return loss / len(self.stfts)
 
 

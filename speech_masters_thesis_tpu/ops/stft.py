@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speech_masters_thesis_tpu.ops.basic import safe_log
+from speech_masters_thesis_tpu.ops.basic import safe_log, safe_sqrt
 
 
 # --------------------------------------------------------------------------
@@ -155,7 +155,8 @@ class STFT:
     def __call__(self, audio: jnp.ndarray) -> jnp.ndarray:
         """[B, T] -> magnitude [B, frames, cutoff] with frames = T // hop."""
         real, imag = self.real_imag(audio)
-        return jnp.sqrt(real * real + imag * imag)
+        # grad-safe: silent frames have exact-zero bins; sqrt'(0) is inf
+        return safe_sqrt(real * real + imag * imag)
 
     def real_imag(self, audio: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         if audio.ndim == 1:

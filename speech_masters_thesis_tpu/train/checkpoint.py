@@ -1,0 +1,75 @@
+"""Orbax checkpointing: save/restore the full TrainState + counters.
+
+Rebuild of reference utils/train_utils.py:148-171 (monolithic torch.save of
+{config, model, optim, sched, ema, step, epoch}). Orbax gives atomic,
+async-capable, multi-host-safe checkpoints and TPU preemption resume. The
+directory layout mirrors the reference (log_dir/ckpts/ckpt.{step|last}) so
+cross-program checkpoint pointers (TransformerLM's vqvae.log_dir +
+ckpt_num, reference transformer_lm.py:85-99) keep working.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from speech_masters_thesis_tpu.train.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+def ckpt_dir(log_dir: str, step_or_last) -> str:
+    return os.path.join(os.path.abspath(log_dir), "ckpts", f"ckpt.{step_or_last}")
+
+
+def save_checkpoint(config, global_step: int, epoch: int, state: TrainState) -> str:
+    """epoch == -1 saves as 'last' (reference save_checkpoint semantics)."""
+    tag = "last" if epoch == -1 else global_step
+    path = ckpt_dir(config.train.log_dir, tag)
+    payload = {
+        "state": jax.device_get(state),
+        "step": global_step,
+        "epoch": config.train.total_epochs if epoch == -1 else epoch,
+    }
+    checkpointer = ocp.PyTreeCheckpointer()
+    checkpointer.save(path, payload, force=True)
+    logger.info("Saved checkpoint to %s", path)
+    return path
+
+
+def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, int]:
+    """Restores into the structure of ``state`` (created fresh from config)."""
+    checkpointer = ocp.PyTreeCheckpointer()
+    template = {"state": jax.device_get(state), "step": 0, "epoch": 0}
+    payload = checkpointer.restore(os.path.abspath(path), item=template)
+    restored = payload["state"]
+    if not isinstance(restored, TrainState):
+        restored = TrainState(**restored)
+    return restored, int(payload["step"]), int(payload["epoch"])
+
+
+def restore_collections(path: str, template: dict) -> dict:
+    """Restores just {params, model_state} for cross-program consumers
+    (e.g. TransformerLM loading a frozen VQ-VAE)."""
+    checkpointer = ocp.PyTreeCheckpointer()
+    payload = checkpointer.restore(os.path.abspath(path))
+    state = payload["state"]
+    return {"params": state["params"], **state["model_state"]}
+
+
+def latest_checkpoint(log_dir: str) -> Optional[str]:
+    root = os.path.join(log_dir, "ckpts")
+    if not os.path.isdir(root):
+        return None
+    entries = [d for d in os.listdir(root) if d.startswith("ckpt.")]
+    if not entries:
+        return None
+    def key(name):
+        tag = name.split(".", 1)[1]
+        return (1, 0) if tag == "last" else (0, int(tag))
+    entries.sort(key=key)
+    return os.path.join(root, entries[-1])

@@ -115,10 +115,25 @@ def _deep_merge(dst: Config, src: Mapping[str, Any]) -> None:
             dst[key] = value
 
 
+_SCI_FLOAT = __import__("re").compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _resolve_scalars(value: Any) -> Any:
+    """pyyaml leaves exponent-form numbers without a dot ('1e-9') as strings;
+    coerce them to float (OmegaConf-compatible behavior)."""
+    if isinstance(value, str) and _SCI_FLOAT.match(value):
+        return float(value)
+    if isinstance(value, Mapping):
+        return {k: _resolve_scalars(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_resolve_scalars(v) for v in value]
+    return value
+
+
 def load_config(path: str) -> Config:
     with io.open(path, "r", encoding="utf-8") as f:
         data = yaml.safe_load(f)
-    return Config(data or {})
+    return Config(_resolve_scalars(data or {}))
 
 
 def merge_configs(*configs: Mapping[str, Any]) -> Config:

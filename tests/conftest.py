@@ -8,12 +8,15 @@ Must run before the first jax import anywhere in the test session.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+
+# NOTE: the JAX_PLATFORMS env var is overridden by the installed TPU plugin in
+# this image; only the config API reliably selects the cpu backend.
+jax.config.update("jax_platforms", "cpu")
 
 # Tests validate fp32 numerics; production code sets precision explicitly
 # where parity matters.

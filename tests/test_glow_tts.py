@@ -1,0 +1,168 @@
+"""Glow-TTS tests: flow invertibility, DDI, encoder shapes, training forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speech_masters_thesis_tpu.models.glow_tts.encoder import (
+    FlowSpecDecoder,
+    TextEncoder,
+    squeeze,
+    unsqueeze,
+)
+from speech_masters_thesis_tpu.models.glow_tts.flows import ActNorm, CouplingBlock, InvConvNear
+from speech_masters_thesis_tpu.models.glow_tts.model import GlowTTS
+from speech_masters_thesis_tpu.utils.config import Config
+
+N_MELS = 8
+
+GLOW_CONFIG = {
+    "model": {
+        "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
+        "encoder": {
+            "n_vocab": 20, "out_channels": None, "hidden_channels": 12,
+            "filter_channels": 24, "filter_channels_dp": 24, "kernel_size": 3,
+            "p_dropout": 0.1, "n_layers": 2, "n_heads": 2, "window_size": 4,
+            "prenet": True, "mean_only": True,
+        },
+        "decoder": {
+            "in_channels": None, "hidden_channels": 12, "kernel_size": 5,
+            "n_blocks": 3, "n_layers": 2, "n_sqz": 2, "n_split": 4,
+            "sigmoid_scale": False, "p_dropout": 0.05, "dilation_rate": 1,
+        },
+        "ddi": True,
+    },
+    "dataset": {"n_mels": N_MELS, "intersperse_blanks": True},
+}
+
+
+def test_squeeze_unsqueeze_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 6).astype(np.float32))
+    mask = jnp.ones((2, 12, 1))
+    xs, ms = squeeze(x, mask, 2)
+    assert xs.shape == (2, 6, 12)
+    xu, mu = unsqueeze(xs, ms, 2)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(x), atol=1e-6)
+
+
+@pytest.mark.parametrize("flow_cls,kwargs", [
+    (ActNorm, dict(channels=16)),
+    (InvConvNear, dict(channels=16, n_split=4)),
+    (CouplingBlock, dict(in_channels=16, hidden_channels=12, kernel_size=5,
+                         dilation_rate=1, n_layers=2)),
+])
+def test_flow_invertibility(flow_cls, kwargs):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 10, 16).astype(np.float32))
+    mask = jnp.ones((2, 10, 1))
+    flow = flow_cls(**kwargs)
+    variables = flow.init(jax.random.PRNGKey(0), x, mask)
+    z, logdet = flow.apply(variables, x, mask, reverse=False)
+    x_rec, _ = flow.apply(variables, z, mask, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+    if not isinstance(flow, ActNorm):
+        assert logdet is not None
+
+
+def test_full_flow_decoder_invertibility():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 12, N_MELS).astype(np.float32))
+    mask = jnp.ones((2, 12, 1))
+    dec = FlowSpecDecoder(in_channels=N_MELS, hidden_channels=12, kernel_size=5,
+                          dilation_rate=1, n_blocks=3, n_layers=2, n_sqz=2, n_split=4)
+    variables = dec.init(jax.random.PRNGKey(0), x, mask)
+    z, logdet = dec.apply(variables, x, mask, reverse=False)
+    assert z.shape == x.shape
+    assert logdet.shape == (2,)
+    x_rec, _ = dec.apply(variables, z, mask, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+
+def test_text_encoder_shapes():
+    enc = TextEncoder(n_vocab=21, out_channels=N_MELS, hidden_channels=12,
+                      filter_channels=24, filter_channels_dp=24, n_heads=2,
+                      n_layers=2, kernel_size=3, p_dropout=0.0, window_size=4,
+                      mean_only=True, prenet=True)
+    tokens = jnp.asarray(np.random.RandomState(3).randint(0, 21, (2, 9)))
+    lens = jnp.asarray([9, 6])
+    variables = enc.init(jax.random.PRNGKey(0), tokens, lens, train=False)
+    x_m, x_logs, logw, mask = enc.apply(variables, tokens, lens, train=False)
+    assert x_m.shape == (2, 9, N_MELS)
+    assert np.allclose(np.asarray(x_logs), 0.0)  # mean_only
+    assert logw.shape == (2, 9)
+    assert mask.shape == (2, 9, 1)
+    # masked positions produce zeros
+    assert np.allclose(np.asarray(x_m)[1, 6:], 0.0)
+
+
+@pytest.fixture(scope="module")
+def glow():
+    cfg = Config(GLOW_CONFIG)
+    model = GlowTTS(config=cfg.to_dict())
+    rng = np.random.RandomState(4)
+    tokens = jnp.asarray(rng.randint(0, 21, (2, 7)))
+    token_lens = jnp.asarray([7, 5])
+    mels = jnp.asarray(rng.randn(2, 16, N_MELS).astype(np.float32))
+    mel_lens = jnp.asarray([16, 12])
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, tokens, token_lens,
+                           mels, mel_lens, train=False)
+    return model, variables, tokens, token_lens, mels, mel_lens
+
+
+def test_glow_training_forward(glow):
+    model, variables, tokens, token_lens, mels, mel_lens = glow
+    rng = jax.random.PRNGKey(1)
+    (loss_dict, _) = model.apply(variables, tokens, token_lens, mels, mel_lens,
+                                 train=True, rngs={"dropout": rng})
+    for key in ["loss", "loss_mle", "loss_length"]:
+        assert np.isfinite(float(loss_dict[key])), key
+    assert loss_dict["yh"] is None  # train mode skips synthesis
+
+
+def test_glow_eval_produces_mel(glow):
+    model, variables, tokens, token_lens, mels, mel_lens = glow
+    (loss_dict, _) = model.apply(variables, tokens, token_lens, mels, mel_lens,
+                                 train=False, rngs={"sample": jax.random.PRNGKey(2)})
+    assert loss_dict["yh"].shape == (2, 16, N_MELS)
+    assert np.isfinite(np.asarray(loss_dict["yh"])).all()
+
+
+def test_glow_gradients(glow):
+    model, variables, tokens, token_lens, mels, mel_lens = glow
+    rng = jax.random.PRNGKey(3)
+
+    def loss_fn(params):
+        (ld, _) = model.apply({"params": params}, tokens, token_lens, mels, mel_lens,
+                              train=True, rngs={"dropout": rng})
+        return ld["loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_ddi_init_grafts_actnorm_stats(glow):
+    model, variables, tokens, token_lens, mels, mel_lens = glow
+    batch = {"token": tokens, "token_len": token_lens, "spect": mels,
+             "spect_len": mel_lens, "speaker": None}
+    new_vars = model.ddi_init(dict(variables), batch)
+    logs_before = variables["params"]["decoder"]["actnorm_0"]["logs"]
+    logs_after = new_vars["params"]["decoder"]["actnorm_0"]["logs"]
+    assert np.allclose(np.asarray(logs_before), 0.0)
+    assert not np.allclose(np.asarray(logs_after), 0.0)
+    # post-DDI, the first flow block's output should be near-normalized
+    (ld, _) = model.apply(new_vars, tokens, token_lens, mels, mel_lens,
+                          train=True, rngs={"dropout": jax.random.PRNGKey(5)})
+    assert np.isfinite(float(ld["loss"]))
+
+
+def test_glow_inference(glow):
+    model, variables, tokens, token_lens, *_ = glow
+    yh, z_lengths = model.apply(variables, tokens, token_lens, jax.random.PRNGKey(9),
+                                max_frames=64, method=GlowTTS.infer)
+    assert yh.shape == (2, 64, N_MELS)
+    assert np.isfinite(np.asarray(yh)).all()
+    assert (np.asarray(z_lengths) >= 1).all()

@@ -1,0 +1,204 @@
+"""Training entry point.
+
+TPU-native rebuild of reference train.py:47-573. CLI flags, the three-source
+config merge, the logdir layout, checkpoint cadence and validation schedule
+are preserved; the runtime underneath is SPMD over a JAX device mesh
+(single process drives all local chips; multi-host via
+--multihost_coordinator) instead of process-per-GPU NCCL DDP.
+
+Usage (same as reference):
+    python train.py --model vqvae --dataset ljspeech --log_dir ./logs/vqvae
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+)
+logger = logging.getLogger("train")
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="vqvae",
+                        help="Name of model config in configs/models")
+    parser.add_argument("--dataset", type=str, default="ljspeech",
+                        help="Name of dataset config in configs/datasets")
+    parser.add_argument("--log_dir", type=str, default="./logs/vqvae")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="GLOBAL batch size (split across chips)")
+    parser.add_argument("--ema", default=False, action="store_true")
+    parser.add_argument("--grad_clip_norm", type=float, default=None)
+    parser.add_argument("--fp16", default=False, action="store_true",
+                        help="Accepted for CLI parity; TPU matmuls already run "
+                             "bf16 on the MXU and need no loss scaling")
+    parser.add_argument("--bf16", default=False, action="store_true",
+                        help="Run model activations in bfloat16")
+    parser.add_argument("--num_workers", type=int, default=2)
+    parser.add_argument("--n_devices", "--n_gpus", dest="n_devices", type=int, default=-1)
+    parser.add_argument("--total_epochs", type=int, default=1000)
+    parser.add_argument("--load_ckpt", type=str, default=None)
+    parser.add_argument("--ckpt_every_n_steps", type=int, default=10000)
+    parser.add_argument("--log_every_n_steps", type=int, default=10)
+    parser.add_argument("--eval_every_n_epochs", type=int, default=5)
+    parser.add_argument("--run_sanity_val_epoch", default=False, action="store_true")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="Optional hard step cap (smoke tests)")
+    parser.add_argument("--multihost_coordinator", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=1)
+    parser.add_argument("--process_id", type=int, default=0)
+    return parser.parse_args()
+
+
+def build_config(args):
+    from speech_masters_thesis_tpu.utils.config import Config, load_config
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    # --model/--dataset accept either a config name or a path to a YAML file
+    model_path = args.model if args.model.endswith(".yaml") \
+        else os.path.join(repo_root, "configs", "models", f"{args.model}.yaml")
+    dataset_path = args.dataset if args.dataset.endswith(".yaml") \
+        else os.path.join(repo_root, "configs", "datasets", f"{args.dataset}.yaml")
+    model_config = load_config(model_path)
+    dataset_config = load_config(dataset_path)
+    train_config = Config({
+        "train": {
+            "log_dir": args.log_dir,
+            "seed": args.seed,
+            "batch_size": args.batch_size,
+            "ema": args.ema,
+            "grad_clip_norm": args.grad_clip_norm,
+            "fp16": args.fp16,
+            "bf16": args.bf16,
+            "num_workers": args.num_workers,
+            "n_devices": args.n_devices,
+            "total_epochs": args.total_epochs,
+            "load_ckpt": args.load_ckpt,
+            "ckpt_every_n_steps": args.ckpt_every_n_steps,
+            "log_every_n_steps": args.log_every_n_steps,
+            "eval_every_n_epochs": args.eval_every_n_epochs,
+            "run_sanity_val_epoch": args.run_sanity_val_epoch,
+            "max_steps": args.max_steps,
+        }
+    })
+    return model_config.merge(dataset_config, train_config)
+
+
+def main():
+    args = parse_args()
+
+    from speech_masters_thesis_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost(args.multihost_coordinator, args.num_processes, args.process_id)
+
+    import jax
+    from tensorboardX import SummaryWriter
+
+    from speech_masters_thesis_tpu.models.base import TASK_OUTPUT
+    from speech_masters_thesis_tpu.models.ema import default_mu
+    from speech_masters_thesis_tpu.parallel.mesh import (
+        enable_compilation_cache,
+        make_data_mesh,
+        place_replicated,
+    )
+    from speech_masters_thesis_tpu.train.artifacts import (
+        save_audio_and_computed_spect,
+        save_spect_and_inverted_audio,
+    )
+    from speech_masters_thesis_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from speech_masters_thesis_tpu.train.harness import (
+        frozen_param_mask,
+        get_dataloaders,
+        get_model,
+        init_model_variables,
+        load_pretrained_submodules,
+        print_top_level_summary,
+    )
+    from speech_masters_thesis_tpu.train.loop import make_train_step, make_val_step, train_epoch, val_epoch
+    from speech_masters_thesis_tpu.train.optim import build_optimizer
+    from speech_masters_thesis_tpu.train.state import TrainState
+    from speech_masters_thesis_tpu.utils.config import setup_logdir
+
+    config = build_config(args)
+    enable_compilation_cache()
+
+    devices = jax.devices()
+    if config.train.n_devices > 0:
+        devices = devices[:config.train.n_devices]
+    logger.info("Training on %d %s device(s)", len(devices), devices[0].platform)
+    if config.train.fp16:
+        logger.info("--fp16 requested: TPU runs bf16 MXU matmuls natively; no GradScaler needed.")
+    assert config.train.batch_size % len(devices) == 0, \
+        f"Global batch {config.train.batch_size} must divide across {len(devices)} devices"
+
+    mesh = make_data_mesh(devices)
+    setup_logdir(config)
+    writer = SummaryWriter(config.train.log_dir) if jax.process_index() == 0 else None
+
+    model = get_model(config)
+    rng = jax.random.PRNGKey(config.train.seed)
+    variables = init_model_variables(model, config, rng)
+    variables = load_pretrained_submodules(model, variables, config)
+    print_top_level_summary(model, variables)
+
+    # DDI (data-dependent init, e.g. GlowTTS ActNorm): one eager batch before jit
+    train_loader, val_loader = get_dataloaders(config)
+    if config.model.get("ddi", False) and not config.train.load_ckpt and hasattr(model, "ddi_init"):
+        logger.info("Running DDI ...")
+        batch = next(iter(train_loader))
+        variables = model.ddi_init(variables, batch)
+
+    tx, schedule = build_optimizer(config, config.train.grad_clip_norm,
+                                   frozen_mask=frozen_param_mask(model, variables["params"]))
+    state = TrainState.create(variables, tx, use_ema=config.train.ema)
+    state = place_replicated(mesh, state)
+
+    global_step, epoch = 0, 0
+    if config.train.load_ckpt:
+        state, global_step, epoch = restore_checkpoint(config.train.load_ckpt, state)
+        logger.info("Restored checkpoint %s at step %d epoch %d",
+                    config.train.load_ckpt, global_step, epoch)
+
+    ema_mu = default_mu(config.train.batch_size, 1)
+    train_step = make_train_step(model, tx, ema_mu, config.train.ema, mesh)
+    val_step = make_val_step(model, config.train.ema)
+    artifact_fn = (save_audio_and_computed_spect if TASK_OUTPUT[type(model).TASK] == "waveform"
+                   else save_spect_and_inverted_audio)
+
+    def ckpt_cb(st, gs, ep):
+        save_checkpoint(config, gs, ep, st)
+
+    if config.train.run_sanity_val_epoch:
+        logger.info("Running sanity val epoch")
+        stats = val_epoch(state=state, epoch=epoch, config=config, mesh=mesh,
+                          val_step=val_step, dataloader=val_loader, writer=writer,
+                          artifact_fn=artifact_fn)
+        logger.info("Sanity val epoch done: %s", stats)
+
+    step_rng = jax.random.PRNGKey(config.train.seed + 1)
+    while epoch < config.train.total_epochs:
+        state, global_step = train_epoch(
+            state=state, global_step=global_step, epoch=epoch, config=config,
+            mesh=mesh, train_step=train_step, dataloader=train_loader,
+            rng=step_rng, writer=writer, save_ckpt=ckpt_cb,
+        )
+        epoch += 1
+        if epoch % config.train.eval_every_n_epochs == 0:
+            val_epoch(state=state, epoch=epoch, config=config, mesh=mesh,
+                      val_step=val_step, dataloader=val_loader, writer=writer,
+                      artifact_fn=artifact_fn)
+        if config.train.max_steps and global_step >= config.train.max_steps:
+            logger.info("Reached max_steps=%d", config.train.max_steps)
+            break
+
+    save_checkpoint(config, global_step, -1, state)
+    if writer is not None:
+        writer.close()
+
+
+if __name__ == "__main__":
+    main()
