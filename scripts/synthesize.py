@@ -1,0 +1,101 @@
+"""End-to-end text -> speech synthesis from a trained Glow-TTS checkpoint.
+
+Covers the reference's ``GlowTTS.infer_step`` path (reference
+models/glow_tts/glow_tts.py:133-168): text -> phonemes -> duration-predicted
+alignment -> reverse flow -> mel, then Griffin-Lim mel inversion to a
+waveform. Also reports RTF (synthesis seconds per audio second), the
+BASELINE.md target metric (< 0.05 on-device for the mel stage).
+
+Usage:
+    python -m scripts.synthesize --log_dir ./logs/glow_tts --ckpt_num 100000 \
+        --text "Hello world." --out ./sample.wav
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+logger = logging.getLogger("synthesize")
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--log_dir", required=True, type=str)
+    parser.add_argument("--ckpt_num", required=True, type=str)
+    parser.add_argument("--text", type=str, default="The quick brown fox jumps over the lazy dog.")
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--max_frames", type=int, default=1024)
+    parser.add_argument("--noise_scale", type=float, default=0.667)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from speech_masters_thesis_tpu.models.glow_tts.model import GlowTTS
+    from speech_masters_thesis_tpu.text.parser import CMUDictParser, intersperse_blanks
+    from speech_masters_thesis_tpu.train.artifacts import mel_to_audio
+    from speech_masters_thesis_tpu.train.checkpoint import ckpt_dir
+    from speech_masters_thesis_tpu.train.harness import get_model
+    from speech_masters_thesis_tpu.utils.audio_io import save_wav
+    from speech_masters_thesis_tpu.utils.config import load_config
+
+    config = load_config(os.path.join(args.log_dir, "config.yaml"))
+    model = get_model(config)
+    assert isinstance(model, GlowTTS), "synthesize drives a GlowTTS checkpoint"
+    payload = ocp.PyTreeCheckpointer().restore(ckpt_dir(args.log_dir, args.ckpt_num))
+    variables = {"params": payload["state"]["params"], **payload["state"]["model_state"]}
+
+    # Text frontend (reference glow_tts.py:137-144)
+    text = args.text.strip()
+    if text[-1] not in [".", "!", "?"]:
+        text = text + "."
+    parser = CMUDictParser(config.dataset.cmudict_path)
+    token_ids = parser(text)
+    if config.dataset.intersperse_blanks:
+        token_ids = intersperse_blanks(token_ids, len(parser.symbols))
+    tokens = jnp.asarray(np.asarray(token_ids, np.int32)[None])
+    lens = jnp.asarray([tokens.shape[1]], jnp.int32)
+
+    @jax.jit
+    def infer(tokens, lens, rng):
+        return model.apply(variables, tokens, lens, rng,
+                           max_frames=args.max_frames,
+                           noise_scale=args.noise_scale, method=GlowTTS.infer)
+
+    rng = jax.random.PRNGKey(args.seed)
+    mel, z_lengths = jax.block_until_ready(infer(tokens, lens, rng))  # compile
+    start = time.perf_counter()
+    mel, z_lengths = jax.block_until_ready(infer(tokens, lens, jax.random.fold_in(rng, 1)))
+    mel_elapsed = time.perf_counter() - start
+
+    n_frames = int(z_lengths[0])
+    mel_np = np.asarray(mel[0, :n_frames])  # [frames, n_mels]
+    audio_seconds = n_frames * config.dataset.hop_length / config.dataset.sample_rate
+    logger.info("Synthesized %d mel frames (%.2fs of audio) in %.4fs — mel RTF %.4f",
+                n_frames, audio_seconds, mel_elapsed, mel_elapsed / max(audio_seconds, 1e-6))
+
+    start = time.perf_counter()
+    audio = mel_to_audio(mel_np, config)
+    gl_elapsed = time.perf_counter() - start
+    logger.info("Griffin-Lim inversion: %.2fs (RTF %.3f, host-side artifact path)",
+                gl_elapsed, gl_elapsed / max(audio_seconds, 1e-6))
+
+    out = args.out or os.path.join(args.log_dir, "synthesis.wav")
+    save_wav(out, np.clip(audio, -1, 1), config.dataset.sample_rate)
+    logger.info("Wrote %s", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -251,3 +251,15 @@ class MelSpectrogram:
 def cached_mel(sample_rate: int, n_fft: int, hop_length: int, win_length: int | None,
                n_mels: int, f_min: float, f_max: float | None) -> MelSpectrogram:
     return MelSpectrogram(sample_rate, n_fft, hop_length, win_length, n_mels, f_min, f_max)
+
+
+def host_mel(mel_op: MelSpectrogram, audio: np.ndarray) -> np.ndarray:
+    """Runs mel extraction pinned to the host CPU backend.
+
+    Dataset workers call this per utterance; without pinning, each call would
+    dispatch a tiny program to the accelerator and contend with the training
+    step for the chip.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return np.asarray(mel_op(jnp.asarray(np.asarray(audio))))

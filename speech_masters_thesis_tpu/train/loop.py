@@ -123,6 +123,12 @@ def train_epoch(
     pending = []  # (step, scalars) awaiting host transfer, drained at log cadence
     log_every = config.train.log_every_n_steps
 
+    profile_steps = int(config.train.get("profile_steps", 0) or 0)
+    profiling = False
+    if profile_steps > 0 and global_step == 0:
+        jax.profiler.start_trace(config.train.log_dir)
+        profiling = True
+
     iterator = dataloader
     if progress:
         iterator = tqdm(dataloader, total=len(dataloader), leave=False,
@@ -132,6 +138,13 @@ def train_epoch(
         state, scalars = train_step(state, device_batch, rng)
         global_step += 1
         pending.append(scalars)
+
+        if profiling and global_step >= profile_steps:
+            jax.block_until_ready(scalars["loss"])
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info("Wrote profiler trace for first %d steps to %s",
+                        profile_steps, config.train.log_dir)
 
         if global_step % log_every == 0:
             # Single host sync point for the whole window.

@@ -2,8 +2,9 @@
 
 The reference publishes no numbers (BASELINE.md), so the baseline is
 *measured*: a PyTorch implementation of the same effective VQ-VAE
-architecture (reference-scale config: emb 128, width 128/depth 8 effective
-at multiplier 2, gated-hifi blocks, 128x compression, EMA k-means codebook,
+architecture (reference-scale config: emb 128, width 64/depth 4 effective —
+the reference keeps only the LAST level whose multiplier is 1
+(vqvae.py:65-71); gated-hifi blocks, 128x compression, EMA k-means codebook,
 multi-res STFT + multi-norm losses) running full train steps
 (forward + backward + Adam) on CPU — the hardware the thesis code actually
 ran on when no GPU was present (reference train.py:553-556).
@@ -73,7 +74,7 @@ class GatedHiFi(nn.Module):
 
 
 class CodecEncoder(nn.Module):
-    def __init__(self, emb=128, width=128, depth=8, downs=(3, 2, 2)):
+    def __init__(self, emb=128, width=64, depth=4, downs=(3, 2, 2)):
         super().__init__()
         stages = []
         ch_in = 1
@@ -92,7 +93,7 @@ class CodecEncoder(nn.Module):
 
 
 class CodecDecoder(nn.Module):
-    def __init__(self, emb=128, width=128, depth=8, downs=(3, 2, 2)):
+    def __init__(self, emb=128, width=64, depth=4, downs=(3, 2, 2)):
         super().__init__()
         stages = []
         for level, down in enumerate(reversed(downs)):

@@ -50,6 +50,8 @@ def parse_args():
     parser.add_argument("--run_sanity_val_epoch", default=False, action="store_true")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Optional hard step cap (smoke tests)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="Capture a device trace of the first N train steps")
     parser.add_argument("--multihost_coordinator", type=str, default=None)
     parser.add_argument("--num_processes", type=int, default=1)
     parser.add_argument("--process_id", type=int, default=0)
@@ -84,6 +86,7 @@ def build_config(args):
             "eval_every_n_epochs": args.eval_every_n_epochs,
             "run_sanity_val_epoch": args.run_sanity_val_epoch,
             "max_steps": args.max_steps,
+            "profile_steps": args.profile_steps,
         }
     })
     return model_config.merge(dataset_config, train_config)
