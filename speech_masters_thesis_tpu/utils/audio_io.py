@@ -19,7 +19,19 @@ def load_wav(path: str, target_sr: int = 22050) -> np.ndarray:
 
     Matches ``librosa.load(path)`` semantics for PCM inputs: integer PCM is
     scaled by the type's full-scale value, stereo is averaged to mono.
+    Decoding goes through the native C reader (native/wavio.c) when built —
+    the host has one core, and RIFF parsing + scaling in C keeps the prefetch
+    thread ahead of the device — with scipy as the fallback.
     """
+    from speech_masters_thesis_tpu import native
+    decoded = native.read_wav(path)
+    if decoded is not None:
+        audio, sr = decoded
+        if sr != target_sr:
+            g = np.gcd(int(sr), int(target_sr))
+            audio = resample_poly(audio, target_sr // g, sr // g).astype(np.float32)
+        return np.clip(audio, -1.0, 1.0)
+
     sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0

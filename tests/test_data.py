@@ -146,3 +146,32 @@ def test_vqlatent_remove_consecutive(tmp_path):
     ds = VQLatent(config, "train")
     token = ds[0]["token"]
     np.testing.assert_array_equal(token, np.asarray([BOS, 3, 5, 2, 3, 1]) + np.asarray([0] + [OFFSET] * 5))
+
+
+def test_native_wav_reader_matches_scipy(tmp_path):
+    """C decoder (native/wavio.c) vs scipy on a PCM WAV, plus the write path."""
+    from speech_masters_thesis_tpu import native
+    from scipy.io import wavfile
+
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+
+    audio = (np.sin(np.linspace(0, 80, 30000)) * 0.6).astype(np.float32)
+    path = str(tmp_path / "n.wav")
+    pcm = (audio * 32767.0).astype(np.int16)
+    wavfile.write(path, 22050, pcm)
+
+    decoded = native.read_wav(path)
+    assert decoded is not None
+    native_audio, sr = decoded
+    assert sr == 22050
+    ref = pcm.astype(np.float32) / 32768.0
+    np.testing.assert_allclose(native_audio, ref, atol=1e-6)
+
+    # native write -> native read roundtrip
+    out = str(tmp_path / "w.wav")
+    assert native.write_wav(out, audio, 22050)
+    again = native.read_wav(out)
+    assert again is not None
+    np.testing.assert_allclose(again[0], audio, atol=1e-3)
