@@ -1,0 +1,180 @@
+"""Auxiliary benchmark suite (beyond the single-line bench.py).
+
+Measures the other BASELINE.md metrics on the available device:
+  * LM sampling throughput (tokens/sec, KV-cached decode) at reference scale
+    (12L / d512 / 16h / ff2048, vocab 512) — the reference's decode loop
+    re-forwards the whole prefix per token (transformer_lm.py:143-151)
+  * Glow-TTS mel-synthesis RTF at reference scale (12 flow blocks)
+  * MAS: lax.scan vs fused Pallas kernel
+
+Writes benchmarks/results.json and prints a summary table.
+
+Usage: python -m benchmarks.run_benchmarks [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def bench_lm_sampling(quick: bool = False) -> dict:
+    import jax
+
+    from speech_masters_thesis_tpu.models.transformer_lm.model import TransformerLM
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    n_steps = 64 if quick else 344  # 344 codes = 2s of audio at 172 codes/s
+    batch = 4
+    cfg = Config({"model": {
+        "vocab_size": 512, "embed_dim": 512, "max_len": 5000, "num_layers": 12,
+        "d_model": 512, "nhead": 16, "dim_feedforward": 2048, "dropout": 0.1,
+        "activation": "relu", "layer_norm_eps": 1e-5, "norm_first": False,
+        "loss_type": "ce",
+    }})
+    model = TransformerLM(config=cfg.to_dict())
+    rng = jax.random.PRNGKey(0)
+    tokens = jax.numpy.zeros((1, 8), jax.numpy.int32)
+    lens = jax.numpy.full((1,), 8, jax.numpy.int32)
+    variables = model.init({"params": rng, "dropout": rng}, tokens, lens, train=False)
+
+    @jax.jit
+    def sample(rng):
+        return model.apply(variables, batch, n_steps, rng, sigma=1.0,
+                           method=TransformerLM.sample)
+
+    jax.block_until_ready(sample(rng))  # compile
+    start = time.perf_counter()
+    jax.block_until_ready(sample(jax.random.fold_in(rng, 1)))
+    elapsed = time.perf_counter() - start
+    tokens_per_sec = batch * n_steps / elapsed
+    # audio-seconds generated per wall-second (128x compression, 22.05 kHz)
+    rtf_inverse = tokens_per_sec * 128 / 22050
+    return {
+        "metric": "lm_sampling_tokens_per_sec",
+        "value": round(tokens_per_sec, 1),
+        "batch": batch,
+        "n_steps": n_steps,
+        "elapsed_s": round(elapsed, 4),
+        "audio_seconds_per_second": round(rtf_inverse, 2),
+    }
+
+
+def bench_glow_tts_rtf(quick: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from speech_masters_thesis_tpu.models.glow_tts.model import GlowTTS
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    max_frames = 256 if quick else 1024  # ~12s of audio at 86 frames/s
+    cfg = Config({
+        "model": {
+            "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
+            "encoder": {"n_vocab": 148, "out_channels": None, "hidden_channels": 192,
+                        "filter_channels": 768, "filter_channels_dp": 256,
+                        "kernel_size": 3, "p_dropout": 0.1, "n_layers": 6,
+                        "n_heads": 2, "window_size": 4, "prenet": True, "mean_only": True},
+            "decoder": {"in_channels": None, "hidden_channels": 192, "kernel_size": 5,
+                        "n_blocks": 12, "n_layers": 4, "n_sqz": 2, "n_split": 4,
+                        "sigmoid_scale": False, "p_dropout": 0.05, "dilation_rate": 1},
+            "ddi": False,
+        },
+        "dataset": {"n_mels": 80, "intersperse_blanks": True},
+    })
+    model = GlowTTS(config=cfg.to_dict())
+    rng = jax.random.PRNGKey(0)
+    t_text = 128
+    tokens = jnp.zeros((1, t_text), jnp.int32)
+    lens = jnp.full((1,), t_text, jnp.int32)
+    mels = jnp.zeros((1, 64, 80), jnp.float32)
+    mlens = jnp.full((1,), 64, jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, tokens, lens, mels, mlens,
+                           train=False)
+
+    @jax.jit
+    def infer(rng):
+        return model.apply(variables, tokens, lens, rng, max_frames=max_frames,
+                           method=GlowTTS.infer)
+
+    jax.block_until_ready(infer(rng))
+    start = time.perf_counter()
+    mel, z_lengths = jax.block_until_ready(infer(jax.random.fold_in(rng, 1)))
+    elapsed = time.perf_counter() - start
+    audio_seconds = max_frames * 256 / 22050  # full padded output
+    return {
+        "metric": "glow_tts_mel_rtf",
+        "value": round(elapsed / audio_seconds, 5),
+        "frames": max_frames,
+        "elapsed_s": round(elapsed, 4),
+        "note": "mel-synthesis wall-time / synthesized audio seconds (BASELINE target < 0.05)",
+    }
+
+
+def bench_mas(quick: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from speech_masters_thesis_tpu.ops.mas import maximum_path
+    from speech_masters_thesis_tpu.ops.pallas.mas import maximum_path_pallas
+
+    b, t_x, t_y = (2, 64, 256) if quick else (8, 256, 1024)
+    rng = np.random.RandomState(0)
+    value = jnp.asarray(rng.randn(b, t_x, t_y).astype(np.float32))
+    mask = jnp.ones((b, t_x, t_y), jnp.float32)
+
+    scan_fn = jax.jit(maximum_path)
+    out_scan = jax.block_until_ready(scan_fn(value, mask))
+    start = time.perf_counter()
+    for _ in range(5):
+        out_scan = scan_fn(value, mask)
+    jax.block_until_ready(out_scan)
+    scan_ms = (time.perf_counter() - start) / 5 * 1e3
+
+    result = {"metric": "mas_ms", "shape": [b, t_x, t_y], "scan_ms": round(scan_ms, 3)}
+    try:
+        out_pallas = jax.block_until_ready(maximum_path_pallas(value, mask))
+        agree = bool(jnp.array_equal(out_pallas, out_scan))
+        start = time.perf_counter()
+        for _ in range(5):
+            out_pallas = maximum_path_pallas(value, mask)
+        jax.block_until_ready(out_pallas)
+        result["pallas_ms"] = round((time.perf_counter() - start) / 5 * 1e3, 3)
+        result["pallas_matches_scan"] = agree
+    except Exception as e:  # pragma: no cover - backend-specific
+        result["pallas_error"] = str(e)[:200]
+    return result
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--only", type=str, default=None,
+                        choices=[None, "lm", "glow", "mas"])
+    args = parser.parse_args()
+
+    from speech_masters_thesis_tpu.parallel.mesh import enable_compilation_cache
+    enable_compilation_cache()
+
+    results = {}
+    if args.only in (None, "lm"):
+        results["lm_sampling"] = bench_lm_sampling(args.quick)
+        print(json.dumps(results["lm_sampling"]))
+    if args.only in (None, "glow"):
+        results["glow_tts_rtf"] = bench_glow_tts_rtf(args.quick)
+        print(json.dumps(results["glow_tts_rtf"]))
+    if args.only in (None, "mas"):
+        results["mas"] = bench_mas(args.quick)
+        print(json.dumps(results["mas"]))
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

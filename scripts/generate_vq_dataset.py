@@ -34,6 +34,8 @@ logger = logging.getLogger("generate_vq_dataset")
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--log_dir", required=True, type=str)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX backend (e.g. 'cpu'); default: auto")
     parser.add_argument("--ckpt_num", required=True, type=str)
     parser.add_argument("--save_path", required=True, type=str)
     parser.add_argument("--batch_size", type=int, default=8)
@@ -46,6 +48,9 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from speech_masters_thesis_tpu.models.vqvae.model import VQVAE, compression_factor

@@ -25,6 +25,8 @@ logger = logging.getLogger("sample_from_lm")
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--log_dir", required=True, type=str)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX backend (e.g. 'cpu'); default: auto")
     parser.add_argument("--ckpt_num", required=True, type=str)
     parser.add_argument("--save_path", type=str, default=None)
     parser.add_argument("--n_samples", type=int, default=4)

@@ -27,6 +27,8 @@ logger = logging.getLogger("synthesize")
 def parse_args():
     parser = argparse.ArgumentParser()
     parser.add_argument("--log_dir", required=True, type=str)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX backend (e.g. 'cpu'); default: auto")
     parser.add_argument("--ckpt_num", required=True, type=str)
     parser.add_argument("--text", type=str, default="The quick brown fox jumps over the lazy dog.")
     parser.add_argument("--out", type=str, default=None)
@@ -40,6 +42,9 @@ def main():
     args = parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
 

@@ -1,0 +1,156 @@
+"""Cross-program pipeline test (the reference's full workflow, on CPU):
+
+train VQ-VAE -> generate_vq_dataset -> train TransformerLM on the latents ->
+sample_from_lm. Exercises the real CLI surfaces via subprocess, including the
+checkpoint-as-interface contracts (logdir config.yaml + orbax ckpts,
+VQ-latent pickle/metadata formats).
+"""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(args, **kwargs):
+    env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_cache"
+    # conftest's 8-virtual-device XLA_FLAGS would leak into the subprocess
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(args, cwd=REPO, env=env, capture_output=True,
+                            text=True, timeout=540, **kwargs)
+    assert result.returncode == 0, f"{' '.join(args)}\n--- stdout\n{result.stdout[-3000:]}\n--- stderr\n{result.stderr[-3000:]}"
+    return result
+
+
+@pytest.fixture(scope="module")
+def pipeline_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    corpus = root / "LJSpeech-1.1"
+    cmudict = root / "cmudict.dict"
+    run([sys.executable, "-m", "scripts.make_synth_dataset", "--out", str(corpus),
+         "--cmudict", str(cmudict), "--n", "12", "--min_sec", "0.5", "--max_sec", "0.8"])
+
+    dataset_yaml = root / "ljspeech.yaml"
+    dataset_yaml.write_text(f"""
+dataset:
+    _import_: datasets.ljspeech.LJSpeech
+    dataset_path: {corpus}
+    cmudict_path: {cmudict}
+    sample_rate: 22050
+    n_fft: 1024
+    hop_length: 256
+    win_length: 1024
+    n_mels: 80
+    intersperse_blanks: true
+    segment_length: 4096
+    use_token: true
+    use_spect: true
+    use_audio: true
+""")
+    return root, dataset_yaml
+
+
+def test_full_pipeline(pipeline_root):
+    root, dataset_yaml = pipeline_root
+
+    # 1. train a tiny VQ-VAE
+    run([sys.executable, "train.py", "--platform", "cpu",
+         "--model", "tests/fixtures/vqvae_tiny.yaml", "--dataset", str(dataset_yaml),
+         "--log_dir", str(root / "vqvae"), "--batch_size", "2", "--total_epochs", "2",
+         "--log_every_n_steps", "2", "--ckpt_every_n_steps", "2",
+         "--eval_every_n_epochs", "10", "--max_steps", "2"])
+    assert (root / "vqvae" / "ckpts" / "ckpt.2").is_dir()
+
+    # 2. tokenize the corpus
+    run([sys.executable, "-m", "scripts.generate_vq_dataset", "--platform", "cpu",
+         "--log_dir", str(root / "vqvae"), "--ckpt_num", "2",
+         "--save_path", str(root / "vqlatent"), "--batch_size", "2"])
+    meta = json.loads((root / "vqlatent" / "metadata.json").read_text())
+    assert meta["compression_factor"] == 128
+    assert meta["vocab_size"] == 32
+    train_pkls = sorted(os.listdir(root / "vqlatent" / "train"))
+    assert len(train_pkls) == 2  # 12 clips - 10 val
+    with open(root / "vqlatent" / "train" / train_pkls[0], "rb") as f:
+        pkl = pickle.load(f)
+    assert set(pkl.keys()) == {"x", "q"}
+    assert len(pkl["x"]) == len(pkl["q"]) * 128
+    assert (root / "vqlatent" / "sanity.wav").exists()
+    assert (root / "vqlatent" / "token_histogram.png").exists()
+
+    # 3. train a tiny LM over the latents (frozen VQ-VAE grafted by pointer)
+    lm_yaml = root / "lm.yaml"
+    lm_yaml.write_text(f"""
+model:
+    _import_: models.transformer_lm.transformer_lm.TransformerLM
+    vocab_size: 32
+    embed_dim: 32
+    max_len: 256
+    num_layers: 2
+    d_model: 32
+    nhead: 2
+    dim_feedforward: 64
+    dropout: 0.1
+    activation: relu
+    layer_norm_eps: 1e-5
+    norm_first: false
+    loss_type: ce
+    vqvae:
+        log_dir: {root / "vqvae"}
+        ckpt_num: 2
+optimizer:
+    name: adam
+    lr: 0.0002
+    betas: [0.9, 0.98]
+    weight_decay: 0
+    eps: 1e-9
+scheduler:
+    name: linear
+    warmup_steps: 10
+""")
+    vq_dataset_yaml = root / "vqlatent.yaml"
+    vq_dataset_yaml.write_text(f"""
+dataset:
+    _import_: datasets.vqlatent.VQLatent
+    dataset_path: {root / "vqlatent"}
+    sample_rate: 22050
+    n_fft: 1024
+    hop_length: 256
+    win_length: 1024
+    n_mels: 80
+    intersperse_blanks: true
+    segment_length: 16
+    remove_consecutive: false
+    use_token: true
+    use_spect: false
+    use_audio: true
+""")
+    run([sys.executable, "train.py", "--platform", "cpu",
+         "--model", str(lm_yaml), "--dataset", str(vq_dataset_yaml),
+         "--log_dir", str(root / "lm"), "--batch_size", "2", "--total_epochs", "2",
+         "--log_every_n_steps", "1", "--ckpt_every_n_steps", "2",
+         "--eval_every_n_epochs", "10", "--max_steps", "2"])
+    assert (root / "lm" / "ckpts" / "ckpt.2").is_dir()
+
+    # 4. sample audio from the LM through the frozen codec
+    run([sys.executable, "-m", "scripts.sample_from_lm", "--platform", "cpu",
+         "--log_dir", str(root / "lm"), "--ckpt_num", "2",
+         "--n_samples", "2", "--n_steps", "8"])
+    samples = root / "lm" / "samples"
+    assert (samples / "sample_0.wav").exists()
+    assert (samples / "sample_1.wav").exists()
+    assert (samples / "samples_mel.png").exists()
+    tokens = (samples / "tokens.txt").read_text().strip().splitlines()
+    assert len(tokens) == 2
+    assert all(0 <= int(t) < 32 for t in tokens[0].split())
+
+    # sampled wav has the expected length: n_steps * compression
+    from speech_masters_thesis_tpu.utils.audio_io import load_wav
+    wav = load_wav(str(samples / "sample_0.wav"))
+    assert len(wav) == 8 * 128

@@ -52,6 +52,8 @@ def parse_args():
                         help="Optional hard step cap (smoke tests)")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="Capture a device trace of the first N train steps")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX backend (e.g. 'cpu'); default: auto")
     parser.add_argument("--multihost_coordinator", type=str, default=None)
     parser.add_argument("--num_processes", type=int, default=1)
     parser.add_argument("--process_id", type=int, default=0)
@@ -99,6 +101,11 @@ def main():
     initialize_multihost(args.multihost_coordinator, args.num_processes, args.process_id)
 
     import jax
+
+    if args.platform:
+        # NOTE: must be the config API; this image's TPU plugin overrides the
+        # JAX_PLATFORMS env var (see tests/conftest.py)
+        jax.config.update("jax_platforms", args.platform)
     from tensorboardX import SummaryWriter
 
     from speech_masters_thesis_tpu.models.base import TASK_OUTPUT
