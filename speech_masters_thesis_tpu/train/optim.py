@@ -47,7 +47,13 @@ def build_schedule(config) -> Callable:
         return dummy_schedule(base_lr)
     name = sched_cfg["name"]
     if name == "noam":
-        return noam_schedule(base_lr, config.model.d_model, sched_cfg["warmup_steps"])
+        # The reference reads config.model.d_model unconditionally
+        # (utils/commons.py:152), but its own glow_tts.yaml has no d_model —
+        # a latent crash. Fall back to the encoder width for such configs.
+        dim_model = config.model.get("d_model")
+        if dim_model is None:
+            dim_model = config.model.encoder.hidden_channels
+        return noam_schedule(base_lr, dim_model, sched_cfg["warmup_steps"])
     if name == "linear":
         return linear_warmup_schedule(base_lr, sched_cfg["warmup_steps"])
     if name == "cosine":

@@ -154,3 +154,40 @@ dataset:
     from speech_masters_thesis_tpu.utils.audio_io import load_wav
     wav = load_wav(str(samples / "sample_0.wav"))
     assert len(wav) == 8 * 128
+
+
+def test_glow_tts_train_and_synthesize(pipeline_root):
+    """Glow-TTS: DDI + training via CLI, then text->mel->wav synthesis."""
+    root, dataset_yaml = pipeline_root
+
+    # noam lr 1.0 from the real config explodes a 2-step toy run; scale it
+    glow_yaml = root / "glow_tiny.yaml"
+    src = open(os.path.join(REPO, "tests/fixtures/glow_tts_tiny.yaml")).read()
+    glow_yaml.write_text(src)
+
+    run([sys.executable, "train.py", "--platform", "cpu",
+         "--model", str(glow_yaml), "--dataset", str(dataset_yaml),
+         "--log_dir", str(root / "glow"), "--batch_size", "2", "--total_epochs", "2",
+         "--log_every_n_steps", "1", "--ckpt_every_n_steps", "2",
+         "--eval_every_n_epochs", "10", "--max_steps", "2"])
+    assert (root / "glow" / "ckpts" / "ckpt.2").is_dir()
+
+    run([sys.executable, "-m", "scripts.synthesize", "--platform", "cpu",
+         "--log_dir", str(root / "glow"), "--ckpt_num", "2",
+         "--text", "Hello world", "--max_frames", "64",
+         "--out", str(root / "glow" / "synth.wav")])
+    from speech_masters_thesis_tpu.utils.audio_io import load_wav
+    wav = load_wav(str(root / "glow" / "synth.wav"))
+    assert len(wav) > 0
+    assert np.isfinite(wav).all()
+
+
+def test_vqtts_train_cli(pipeline_root):
+    """VQ-TTS end-to-end text->waveform training via the CLI."""
+    root, dataset_yaml = pipeline_root
+    run([sys.executable, "train.py", "--platform", "cpu",
+         "--model", "tests/fixtures/vqtts_tiny.yaml", "--dataset", str(dataset_yaml),
+         "--log_dir", str(root / "vqtts"), "--batch_size", "1", "--total_epochs", "1",
+         "--log_every_n_steps", "1", "--ckpt_every_n_steps", "100",
+         "--eval_every_n_epochs", "10", "--max_steps", "2"])
+    assert (root / "vqtts" / "ckpts" / "ckpt.last").is_dir()
