@@ -64,7 +64,11 @@ def main():
     tx, _ = build_optimizer(config, None)
     state = TrainState.create(variables, tx, use_ema=True)
     state = place_replicated(mesh, state)
-    train_step = make_train_step(model, tx, default_mu(BATCH, n_chips), use_ema=True, mesh=mesh)
+    # bf16 mixed precision is the shipped training configuration (see
+    # docs/DESIGN.md); BENCH_F32=1 measures the fp32 variant
+    bf16 = os.environ.get("BENCH_F32", "0") != "1"
+    train_step = make_train_step(model, tx, default_mu(BATCH, n_chips), use_ema=True,
+                                 mesh=mesh, bf16=bf16)
 
     t_samples = int(CLIP_SECONDS * 22050) // 512 * 512
     rng = np.random.RandomState(0)
@@ -97,12 +101,15 @@ def main():
         if baseline.get("value"):
             vs_baseline = value / baseline["value"]
 
-    print(json.dumps({
+    result = {
         "metric": "vqvae_train_mel_frames_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "mel-frames/s/chip",
         "vs_baseline": round(vs_baseline, 2),
-    }))
+    }
+    if not bf16:
+        result["metric"] += "_f32"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

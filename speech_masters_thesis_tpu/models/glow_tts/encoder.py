@@ -53,7 +53,7 @@ class TextEncoder(nn.Module):
                        embedding_init=nn.initializers.normal(self.hidden_channels ** -0.5),
                        name="emb")
         x = emb(text) * math.sqrt(self.hidden_channels)  # [B, T, H]
-        x_mask = sequence_mask(text_lengths, x.shape[1])[..., None]  # [B, T, 1]
+        x_mask = sequence_mask(text_lengths, x.shape[1])[..., None].astype(x.dtype)  # [B, T, 1]
 
         if self.prenet:
             x = ConvReluNorm(self.hidden_channels, self.hidden_channels,

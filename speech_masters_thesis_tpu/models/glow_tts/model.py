@@ -133,7 +133,7 @@ class GlowTTS(TokenToSpectrogramModel):
         y_max_length = (y.shape[1] // self.n_sqz) * self.n_sqz
         y = y[:, :y_max_length]
         y_lengths = (y_lengths // self.n_sqz) * self.n_sqz
-        y_mask = sequence_mask(y_lengths, y_max_length)[..., None]  # [B, T_y, 1]
+        y_mask = sequence_mask(y_lengths, y_max_length)[..., None].astype(y.dtype)  # [B, T_y, 1]
         z_dec, logdet = self.decoder(y, y_mask, speaker_embeddings=speaker_embeddings,
                                      reverse=False, ddi=ddi, train=train)
 

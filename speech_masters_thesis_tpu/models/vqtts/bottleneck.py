@@ -72,9 +72,10 @@ class GroupedBottleneck(BottleneckBlock):
         fit = jnp.sum(min_distance) / distance.shape[-1]
         metrics = dict(fit=fit, **metrics)
 
-        diff = (jax.lax.stop_gradient(y_d) - y_flat) * m_flat[:, None]
+        diff = (jax.lax.stop_gradient(y_d) - y_flat.astype(jnp.float32)) * m_flat[:, None]
         commit_loss = jnp.sum(diff * diff) / (jnp.maximum(jnp.sum(m_flat), 1.0) * c)
 
+        y_d = y_d.astype(y_flat.dtype)
         y_d = y_flat + jax.lax.stop_gradient(y_d - y_flat)
-        y_d = (y_d * m_flat[:, None]).reshape(b, t_y, c)
+        y_d = (y_d * m_flat.astype(y_d.dtype)[:, None]).reshape(b, t_y, c)
         return q_rel.reshape(b, t_y), y_d, commit_loss, metrics

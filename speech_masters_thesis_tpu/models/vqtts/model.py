@@ -159,7 +159,7 @@ class VQTTS(TokenToWaveformModel):
             x, x_lengths, speaker_embeddings=speaker_embeddings, train=train)
 
         # Encode audio
-        y_mask = sequence_mask(y_lengths, y.shape[-1])  # [B, T_y]
+        y_mask = sequence_mask(y_lengths, y.shape[-1]).astype(y.dtype)  # [B, T_y]
         y_enc, q_mask = self.audio_encoder(y[..., None], y_mask[..., None], train=train)
         q_mask_flat = q_mask[..., 0]  # [B, T_q]
 

@@ -125,18 +125,20 @@ class BottleneckBlock(nn.Module):
         fit = jnp.sum(min_distance) / self.k_bins
         metrics = dict(fit=fit, **metrics)
 
-        # Masked commitment loss over valid rows (bottleneck.py:194).
-        diff = (jax.lax.stop_gradient(x_d) - x_flat) * m_flat[:, None]
+        # Masked commitment loss over valid rows (bottleneck.py:194), in fp32.
+        diff = (jax.lax.stop_gradient(x_d) - x_flat.astype(jnp.float32)) * m_flat[:, None]
         commit_loss = jnp.sum(diff * diff) / (jnp.maximum(jnp.sum(m_flat), 1.0) * c)
 
-        # Straight-through estimator.
+        # Straight-through estimator (codebook values follow activation dtype
+        # so bf16 activations stay bf16; the fp32 codebook is state-only).
+        x_d = x_d.astype(x_flat.dtype)
         x_q = x_flat + jax.lax.stop_gradient(x_d - x_flat)
         if not update_k:
             # eval-mode paranoia: block encoder gradients entirely
             # (reference bottleneck.py:230-234)
             x_q = jax.lax.stop_gradient(x_q)
 
-        x_q = (x_q * m_flat[:, None]).reshape(b, t, c)
+        x_q = (x_q * m_flat.astype(x_q.dtype)[:, None]).reshape(b, t, c)
         return codes.reshape(b, t), x_q, commit_loss, metrics
 
     # -- state updates -----------------------------------------------------------

@@ -111,7 +111,7 @@ class VQVAE(WaveformReconstructionModel):
     def __call__(self, x: jnp.ndarray, x_lengths: jnp.ndarray,
                  speaker: Optional[jnp.ndarray] = None, train: bool = True):
         """x: [B, T] waveform; x_lengths: [B]. Returns (loss_dict, metrics)."""
-        x_mask = sequence_mask(x_lengths, x.shape[-1])  # [B, T]
+        x_mask = sequence_mask(x_lengths, x.shape[-1]).astype(x.dtype)  # [B, T]
 
         h, h_mask = self.encoder(x[..., None], x_mask[..., None], train=train)
         zs, xqs, commit_losses, quantizer_metrics = self.bottleneck(

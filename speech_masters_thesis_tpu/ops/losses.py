@@ -90,8 +90,9 @@ class MultiNormReconstructionLoss:
     linf_topk: int = 2048
 
     def __call__(self, y: jnp.ndarray, yh: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-        y = (y * mask).reshape(y.shape[0], -1)
-        yh = (yh * mask).reshape(yh.shape[0], -1)
+        # loss accumulates in fp32 even under bf16 activations
+        y = (y * mask).reshape(y.shape[0], -1).astype(jnp.float32)
+        yh = (yh * mask).reshape(yh.shape[0], -1).astype(jnp.float32)
         diff = y - yh
         sq = diff * diff
         loss = self.l1 * jnp.mean(jnp.abs(diff)) + self.l2 * jnp.mean(sq)

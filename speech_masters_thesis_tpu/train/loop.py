@@ -47,9 +47,28 @@ def _apply_supervised(model, params, model_state, batch, train: bool, rngs, muta
     return out, {}
 
 
+def _to_bf16(tree):
+    """Casts float32 leaves to bfloat16 (mixed-precision compute copy)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        if x is not None and hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
 def make_train_step(model, tx: optax.GradientTransformation, ema_mu: float,
-                    use_ema: bool, mesh=None) -> Callable:
-    """Builds the jitted train step: (state, batch, rng) -> (state, scalars)."""
+                    use_ema: bool, mesh=None, bf16: bool = False) -> Callable:
+    """Builds the jitted train step: (state, batch, rng) -> (state, scalars).
+
+    bf16=True runs activations in bfloat16 (params cast inside the loss so
+    master weights, optimizer moments and gradients stay fp32 — the cast is
+    differentiable and its cotangent upcasts). Parity-critical ops (STFT
+    losses, VQ distance argmin) pin fp32 internally regardless. No loss
+    scaling is needed for bf16 (8-bit exponent).
+    """
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -58,9 +77,11 @@ def make_train_step(model, tx: optax.GradientTransformation, ema_mu: float,
         mutable = list(state.model_state.keys())
 
         def loss_fn(params):
+            compute_params = _to_bf16(params) if bf16 else params
+            compute_batch = _to_bf16(batch) if bf16 else batch
             (loss_dict, metrics), mutated = _apply_supervised(
-                model, params, state.model_state, batch, True, rngs, mutable)
-            return loss_dict["loss"], (loss_dict, metrics, mutated)
+                model, compute_params, state.model_state, compute_batch, True, rngs, mutable)
+            return loss_dict["loss"].astype(jnp.float32), (loss_dict, metrics, mutated)
 
         grads, (loss_dict, metrics, mutated) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -193,3 +193,19 @@ def test_dataloader_sharding():
     seen_b = {int(b["audio"][i, 0]) for b in loader_b for i in range(2)}
     assert seen_a.isdisjoint(seen_b)
     assert len(seen_a) == len(seen_b) == 10
+
+
+def test_bf16_train_step(setup):
+    """bf16 mixed precision: finite fp32 loss, fp32 master params/grads."""
+    config, mesh, model, tx, fresh_state, _ = setup
+    state = fresh_state()
+    bf16_step = make_train_step(model, tx, default_mu(8, 8), use_ema=True,
+                                mesh=mesh, bf16=True)
+    batch = shard_batch(mesh, make_batch(seed=11))
+    for _ in range(2):
+        state, scalars = bf16_step(state, batch, jax.random.PRNGKey(4))
+    assert bool(scalars["finite"])
+    assert np.isfinite(float(scalars["loss"]))
+    # master params remain fp32
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32

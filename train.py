@@ -174,7 +174,8 @@ def main():
                     config.train.load_ckpt, global_step, epoch)
 
     ema_mu = default_mu(config.train.batch_size, 1)
-    train_step = make_train_step(model, tx, ema_mu, config.train.ema, mesh)
+    train_step = make_train_step(model, tx, ema_mu, config.train.ema, mesh,
+                                 bf16=config.train.bf16)
     val_step = make_val_step(model, config.train.ema)
     artifact_fn = (save_audio_and_computed_spect if TASK_OUTPUT[type(model).TASK] == "waveform"
                    else save_spect_and_inverted_audio)
