@@ -166,3 +166,32 @@ def test_glow_inference(glow):
     assert yh.shape == (2, 64, N_MELS)
     assert np.isfinite(np.asarray(yh)).all()
     assert (np.asarray(z_lengths) >= 1).all()
+
+
+def test_glow_speaker_conditioning():
+    """Multi-speaker path: speaker embeddings condition the WN coupling."""
+    cfg = dict(GLOW_CONFIG)
+    import copy
+    cfg = copy.deepcopy(GLOW_CONFIG)
+    cfg["model"]["n_speakers"] = 3
+    cfg["model"]["gin_channels"] = 4
+    model = GlowTTS(config=Config(cfg).to_dict())
+    rng = np.random.RandomState(8)
+    tokens = jnp.asarray(rng.randint(0, 21, (2, 5)))
+    token_lens = jnp.asarray([5, 4])
+    mels = jnp.asarray(rng.randn(2, 8, N_MELS).astype(np.float32))
+    mel_lens = jnp.asarray([8, 8])
+    speaker = jnp.asarray([[0], [2]], jnp.int32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, tokens, token_lens,
+                           mels, mel_lens, speaker=speaker, train=False)
+    (ld_a, _) = model.apply(variables, tokens, token_lens, mels, mel_lens,
+                            speaker=speaker, train=False,
+                            rngs={"sample": jax.random.PRNGKey(1)})
+    # different speaker ids must change the output
+    speaker_b = jnp.asarray([[1], [1]], jnp.int32)
+    (ld_b, _) = model.apply(variables, tokens, token_lens, mels, mel_lens,
+                            speaker=speaker_b, train=False,
+                            rngs={"sample": jax.random.PRNGKey(1)})
+    assert np.isfinite(float(ld_a["loss"]))
+    assert float(ld_a["loss"]) != pytest.approx(float(ld_b["loss"]))
