@@ -136,6 +136,15 @@ def main():
     config = build_config(args)
     enable_compilation_cache()
 
+    # seed host-side RNGs (dataset crops use `random`; loaders use numpy) —
+    # counterpart of reference seed_all_rng (utils/train_utils.py:62-71);
+    # device randomness is explicit PRNG keys below
+    import random as _random
+
+    import numpy as _np
+    _random.seed(config.train.seed)
+    _np.random.seed(config.train.seed)
+
     devices = jax.devices()
     if config.train.n_devices > 0:
         devices = devices[:config.train.n_devices]
@@ -157,10 +166,12 @@ def main():
 
     # DDI (data-dependent init, e.g. GlowTTS ActNorm): one eager batch before jit
     train_loader, val_loader = get_dataloaders(config)
+    ddi_ran = False
     if config.model.get("ddi", False) and not config.train.load_ckpt and hasattr(model, "ddi_init"):
         logger.info("Running DDI ...")
         batch = next(iter(train_loader))
         variables = model.ddi_init(variables, batch)
+        ddi_ran = True
 
     tx, schedule = build_optimizer(config, config.train.grad_clip_norm,
                                    frozen_mask=frozen_param_mask(model, variables["params"]))
@@ -172,6 +183,9 @@ def main():
         state, global_step, epoch = restore_checkpoint(config.train.load_ckpt, state)
         logger.info("Restored checkpoint %s at step %d epoch %d",
                     config.train.load_ckpt, global_step, epoch)
+    elif ddi_ran:
+        # DDI result is checkpointed as ckpt.0 (reference utils/train_utils.py:58)
+        save_checkpoint(config, 0, 0, state)
 
     ema_mu = default_mu(config.train.batch_size, 1)
     train_step = make_train_step(model, tx, ema_mu, config.train.ema, mesh,
@@ -191,20 +205,25 @@ def main():
         logger.info("Sanity val epoch done: %s", stats)
 
     step_rng = jax.random.PRNGKey(config.train.seed + 1)
-    while epoch < config.train.total_epochs:
-        state, global_step = train_epoch(
-            state=state, global_step=global_step, epoch=epoch, config=config,
-            mesh=mesh, train_step=train_step, dataloader=train_loader,
-            rng=step_rng, writer=writer, save_ckpt=ckpt_cb,
-        )
-        epoch += 1
-        if epoch % config.train.eval_every_n_epochs == 0:
-            val_epoch(state=state, epoch=epoch, config=config, mesh=mesh,
-                      val_step=val_step, dataloader=val_loader, writer=writer,
-                      artifact_fn=artifact_fn)
-        if config.train.max_steps and global_step >= config.train.max_steps:
-            logger.info("Reached max_steps=%d", config.train.max_steps)
-            break
+    try:
+        while epoch < config.train.total_epochs:
+            state, global_step = train_epoch(
+                state=state, global_step=global_step, epoch=epoch, config=config,
+                mesh=mesh, train_step=train_step, dataloader=train_loader,
+                rng=step_rng, writer=writer, save_ckpt=ckpt_cb,
+            )
+            epoch += 1
+            if epoch % config.train.eval_every_n_epochs == 0:
+                val_epoch(state=state, epoch=epoch, config=config, mesh=mesh,
+                          val_step=val_step, dataloader=val_loader, writer=writer,
+                          artifact_fn=artifact_fn)
+            if config.train.max_steps and global_step >= config.train.max_steps:
+                logger.info("Reached max_steps=%d", config.train.max_steps)
+                break
+    except KeyboardInterrupt:
+        # clean shutdown: still save the final checkpoint below
+        # (reference train.py:454-458 catches KeyboardInterrupt per rank)
+        logger.info("Interrupted at step %d; saving final checkpoint", global_step)
 
     save_checkpoint(config, global_step, -1, state)
     if writer is not None:
