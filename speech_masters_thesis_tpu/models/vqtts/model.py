@@ -130,6 +130,7 @@ class VQTTS(TokenToWaveformModel):
         )
         self.multi_recon_loss = MultiNormReconstructionLoss(
             l1=cfg.loss.l1, l2=cfg.loss.l2, linf=cfg.loss.linf, linf_topk=cfg.loss.linf_topk,
+            linf_approx=cfg.loss.get("linf_approx", True),
         )
 
     @staticmethod

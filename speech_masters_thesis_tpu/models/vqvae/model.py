@@ -79,6 +79,7 @@ class VQVAE(WaveformReconstructionModel):
         )
         self.multi_recon_loss = MultiNormReconstructionLoss(
             l1=loss_cfg.l1, l2=loss_cfg.l2, linf=loss_cfg.linf, linf_topk=loss_cfg.linf_topk,
+            linf_approx=loss_cfg.get("linf_approx", True),
         )
         self.commit = loss_cfg.commit
         self.multispectral = loss_cfg.multispectral

@@ -88,6 +88,12 @@ class MultiNormReconstructionLoss:
     l2: float = 1.0
     linf: float = 0.02
     linf_topk: int = 2048
+    # approx_max_k is the TPU-native top-k (O(n) vs a full sort; default
+    # recall ~0.95 of the true top set). The Linf term only nudges training
+    # toward the worst samples, so approximate membership is fine; ~20% of
+    # the measured VQ-VAE step time was exact top_k. Set False for the
+    # reference's exact semantics.
+    linf_approx: bool = True
 
     def __call__(self, y: jnp.ndarray, yh: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         # loss accumulates in fp32 even under bf16 activations
@@ -98,7 +104,10 @@ class MultiNormReconstructionLoss:
         loss = self.l1 * jnp.mean(jnp.abs(diff)) + self.l2 * jnp.mean(sq)
         if self.linf > 0:
             k = min(self.linf_topk, sq.shape[-1])
-            topk_vals = jax.lax.top_k(sq, k)[0]  # [B, k]
+            if self.linf_approx and k < sq.shape[-1]:
+                topk_vals = jax.lax.approx_max_k(sq, k)[0]  # [B, k]
+            else:
+                topk_vals = jax.lax.top_k(sq, k)[0]
             loss += self.linf * jnp.sum(jnp.mean(topk_vals, axis=0))
         return loss
 

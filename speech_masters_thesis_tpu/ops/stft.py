@@ -137,11 +137,14 @@ class STFT:
         assert self.n_fft >= win_length
         basis = dft_basis(self.n_fft)  # (2*cutoff, n_fft)
         win = pad_center(hann_window(win_length), self.n_fft)
+        # forward DFT runs as framed rFFT (see real_imag); the windowed basis
+        # is kept (host-side numpy) for export/introspection, and the pinv
+        # basis drives the inverse transform (reference transforms.py:93).
         fwd = (basis * win[None, :]).astype(np.float32)
         scale = self.n_fft / self.hop_length
         inv = (np.linalg.pinv(scale * basis).T * win[None, :]).astype(np.float32)
-        object.__setattr__(self, "forward_basis", jnp.asarray(fwd))
-        object.__setattr__(self, "inverse_basis", jnp.asarray(inv))
+        object.__setattr__(self, "forward_basis", fwd)
+        object.__setattr__(self, "inverse_basis", inv)
         object.__setattr__(self, "window", win)
 
     @property
@@ -158,25 +161,26 @@ class STFT:
         # grad-safe: silent frames have exact-zero bins; sqrt'(0) is inf
         return safe_sqrt(real * real + imag * imag)
 
-    def real_imag(self, audio: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def _frames(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """Reflect-pad and gather overlapping windowed frames [B, frames, n_fft]."""
         if audio.ndim == 1:
             audio = audio[None, :]
-        x = jnp.pad(audio, ((0, 0), (self.pad_amount, self.pad_amount)), mode="reflect")
-        x = x[:, :, None].astype(jnp.float32)  # [B, Tp, 1]
-        # conv against the (n_fft x 2*cutoff) windowed DFT bank: one MXU matmul
-        # per frame position; identical math to reference transforms.py:118.
-        kernel = self.forward_basis.T[:, None, :]  # [n_fft, 1, 2*cutoff]
-        out = jax.lax.conv_general_dilated(
-            x, kernel,
-            window_strides=(self.hop_length,),
-            padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-            # Feature extraction is parity-critical (BASELINE: mel within
-            # 1e-3) and cheap next to the model — force full fp32 MXU passes.
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [B, frames, 2*cutoff]
-        return out[..., :self.cutoff], out[..., self.cutoff:]
+        x = jnp.pad(audio, ((0, 0), (self.pad_amount, self.pad_amount)),
+                    mode="reflect").astype(jnp.float32)
+        n_frames = (x.shape[1] - self.n_fft) // self.hop_length + 1
+        idx = (jnp.arange(n_frames)[:, None] * self.hop_length
+               + jnp.arange(self.n_fft)[None, :])  # [frames, n_fft]
+        return jnp.take(x, idx, axis=1)  # [B, frames, n_fft]
+
+    def real_imag(self, audio: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        # Framed rFFT: O(n log n) per frame vs the reference's dense DFT conv
+        # (transforms.py:118, O(n^2)); identical math — the windowed DFT basis
+        # rows ARE the rFFT of the windowed frame. Frame extraction is a
+        # gather (bandwidth-only); fp32 throughout (feature extraction is
+        # parity-critical, BASELINE: mel within 1e-3).
+        frames = self._frames(audio) * jnp.asarray(self.window, jnp.float32)
+        spec = jnp.fft.rfft(frames, axis=-1)  # [B, frames, cutoff]
+        return jnp.real(spec).astype(jnp.float32), jnp.imag(spec).astype(jnp.float32)
 
     def inverse(self, magnitude: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
         """[B, frames, cutoff] x2 -> [B, T]; window-sumsquare-corrected iSTFT.
@@ -187,7 +191,7 @@ class STFT:
         n_frames = magnitude.shape[1]
         rec = jnp.concatenate([magnitude * jnp.cos(phase), magnitude * jnp.sin(phase)], axis=-1)
         # transposed conv = lhs-dilated conv with flipped kernel
-        kernel = self.inverse_basis.T[:, None, :]  # [n_fft, 1, 2*cutoff]
+        kernel = jnp.asarray(self.inverse_basis.T[:, None, :])  # [n_fft, 1, 2*cutoff]
         out = jax.lax.conv_transpose(
             rec, kernel,
             strides=(self.hop_length,),

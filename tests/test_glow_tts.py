@@ -195,3 +195,50 @@ def test_glow_speaker_conditioning():
                             rngs={"sample": jax.random.PRNGKey(1)})
     assert np.isfinite(float(ld_a["loss"]))
     assert float(ld_a["loss"]) != pytest.approx(float(ld_b["loss"]))
+
+
+def test_relative_position_skew_tricks():
+    """_relative_to_absolute / _absolute_to_relative vs brute-force indexing.
+
+    rel[b,h,i,m] holds the logit for relative offset (m - (L-1)) from query i;
+    absolute[b,h,i,j] must equal rel[b,h,i, j - i + L - 1].
+    """
+    from speech_masters_thesis_tpu.models.glow_tts.attention import (
+        _absolute_to_relative,
+        _get_relative_embeddings,
+        _relative_to_absolute,
+    )
+
+    rng = np.random.RandomState(0)
+    b, h, L = 2, 3, 7
+    rel = rng.randn(b, h, L, 2 * L - 1).astype(np.float32)
+    absolute = np.asarray(_relative_to_absolute(jnp.asarray(rel)))
+    assert absolute.shape == (b, h, L, L)
+    for i in range(L):
+        for j in range(L):
+            m = j - i + L - 1
+            np.testing.assert_allclose(absolute[:, :, i, j], rel[:, :, i, m],
+                                       err_msg=f"i={i} j={j}")
+
+    # inverse direction
+    absolute2 = rng.randn(b, h, L, L).astype(np.float32)
+    rel2 = np.asarray(_absolute_to_relative(jnp.asarray(absolute2)))
+    assert rel2.shape == (b, h, L, 2 * L - 1)
+    for i in range(L):
+        for j in range(L):
+            m = j - i + L - 1
+            np.testing.assert_allclose(rel2[:, :, i, m], absolute2[:, :, i, j],
+                                       err_msg=f"i={i} j={j}")
+
+    # window clipping: beyond +-window the embedding is the edge-padded zero
+    window = 2
+    emb = rng.randn(1, 2 * window + 1, 4).astype(np.float32)
+    used = np.asarray(_get_relative_embeddings(jnp.asarray(emb), L, window))
+    assert used.shape == (1, 2 * L - 1, 4)
+    # centre entries match the original table
+    centre = L - 1
+    for off in range(-window, window + 1):
+        np.testing.assert_allclose(used[:, centre + off], emb[:, window + off])
+    # offsets beyond the window are zero-padded
+    assert np.allclose(used[:, : centre - window], 0.0)
+    assert np.allclose(used[:, centre + window + 1:], 0.0)
