@@ -39,6 +39,9 @@ def parse_args():
     parser.add_argument("--ckpt_num", required=True, type=str)
     parser.add_argument("--save_path", required=True, type=str)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--bucket_multiple", type=int, default=65536,
+                        help="Audio length bucket granularity: larger = fewer "
+                             "distinct shapes = fewer XLA compiles for full clips")
     parser.add_argument("--sanity", default=True, action="store_true",
                         help="Write a round-trip decoded sanity wav + token histogram")
     return parser.parse_args()
@@ -86,6 +89,8 @@ def main():
 
     train_loader, val_loader = get_dataloaders(config)
     train_loader.shuffle = False
+    for loader in (train_loader, val_loader):
+        loader.collate_kwargs = {"audio_multiple": args.bucket_multiple}
 
     os.makedirs(args.save_path, exist_ok=True)
     token_counts: Counter = Counter()
