@@ -20,7 +20,9 @@ import time
 
 import numpy as np
 
-BATCH = 8
+# shipped training configuration: bf16 + remat + the largest batch that
+# fits a 16GB-HBM v5e for 3s clips (batch 64 OOMs even with remat)
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 CLIP_SECONDS = 3.0
 WARMUP_STEPS = 3
 TIMED_STEPS = 20
@@ -45,6 +47,8 @@ def main():
 
     repo = os.path.dirname(os.path.abspath(__file__))
     config = load_config(os.path.join(repo, "configs", "models", "vqvae.yaml"))
+    if os.environ.get("BENCH_REMAT", "1") == "1":
+        config.model.remat = True
     config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
     config = config.merge(Config({"train": {
         "log_dir": "/tmp/bench", "seed": 0, "batch_size": BATCH, "ema": True,

@@ -127,17 +127,21 @@ class InvConvNear(nn.Module):
         xg = x.reshape(b, t, 2, c // s, s // 2)
         xg = xg.transpose(0, 1, 2, 4, 3).reshape(b, t, s, c // s)
 
+        # the n_split x n_split matrix ops run in fp32 regardless of the
+        # activation dtype (lapack slogdet/inv have no bf16 kernels, and a
+        # 4x4 determinant wants full precision anyway)
+        w32 = weight.astype(jnp.float32)
         if reverse:
-            w = jnp.linalg.inv(weight.astype(jnp.float32)).astype(weight.dtype)
+            w = jnp.linalg.inv(w32).astype(x.dtype)
             logdet = None
         else:
-            w = weight
+            w = w32.astype(x.dtype)
             if self.no_jacobian:
                 logdet = 0
             else:
-                _, slogdet = jnp.linalg.slogdet(weight)
+                _, slogdet = jnp.linalg.slogdet(w32)
                 # torch.logdet returns sign*|det| log; det>0 by construction
-                logdet = slogdet * (c / s) * x_len
+                logdet = slogdet * (c / s) * x_len.astype(jnp.float32)
 
         z = jnp.einsum("btsc,ks->btkc", xg, w)
         z = z.reshape(b, t, 2, s // 2, c // s).transpose(0, 1, 2, 4, 3).reshape(b, t, c)

@@ -184,12 +184,19 @@ class Encoder(nn.Module):
     kernel_size_cycle: Optional[int] = None
     zero_out: bool = True
     res_scale: bool = False
+    # rematerialize each level in the backward pass: trades ~1.3x flops for
+    # activation memory, unlocking larger batches (3s clips at batch 32 OOM
+    # a 16GB-HBM chip without it)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
         """x: [B, T, input_emb_width]; mask: [B, T, 1] -> ([B, T', C], [B, T', 1])."""
+        block_cls = EncoderConvBlock
+        if self.remat:
+            block_cls = nn.remat(EncoderConvBlock, static_argnums=(3,))  # (self, x, mask, train)
         for level, down_t, stride_t in zip(range(self.levels), self.downs_t, self.strides_t):
-            x, mask = EncoderConvBlock(
+            x, mask = block_cls(
                 self.input_emb_width if level == 0 else self.output_emb_width,
                 self.output_emb_width,
                 down_t, stride_t, self.block_type,
@@ -200,7 +207,7 @@ class Encoder(nn.Module):
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
                 name=f"level_{level}",
-            )(x, mask, train=train)
+            )(x, mask, train)
         return x, mask
 
 
@@ -226,6 +233,7 @@ class Decoder(nn.Module):
     zero_out: bool = True
     res_scale: bool = False
     reverse_decoder_dilation: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray],
@@ -234,10 +242,13 @@ class Decoder(nn.Module):
             assert len(xs) == len(masks) == self.levels
         else:
             assert len(xs) == len(masks) == 1
+        block_cls = DecoderConvBlock
+        if self.remat:
+            block_cls = nn.remat(DecoderConvBlock, static_argnums=(3,))  # (self, x, mask, train)
         x, mask = xs[-1], masks[-1]
         for level, down_t, stride_t in reversed(
                 list(zip(range(self.levels), self.downs_t, self.strides_t))):
-            x, mask = DecoderConvBlock(
+            x, mask = block_cls(
                 self.output_emb_width,
                 self.output_emb_width,
                 down_t, stride_t, self.block_type,
@@ -249,7 +260,7 @@ class Decoder(nn.Module):
                 zero_out=self.zero_out, res_scale=self.res_scale,
                 reverse_decoder_dilation=self.reverse_decoder_dilation,
                 name=f"level_{level}",
-            )(x, mask, train=train)
+            )(x, mask, train)
             if level != 0 and all_levels:
                 x = x + xs[level - 1]
         x = nn.Conv(self.input_emb_width, (1,), name="out")(x * mask)

@@ -61,6 +61,7 @@ class VQVAE(WaveformReconstructionModel):
             kernel_size_growth_rate=cfg.kernel_size_growth_rate,
             kernel_size_cycle=cfg.kernel_size_cycle,
             zero_out=cfg.zero_out,
+            remat=cfg.get("remat", False),
         )
         self.encoder = Encoder(**common)
         self.decoder = Decoder(reverse_decoder_dilation=cfg.reverse_decoder_dilation, **common)

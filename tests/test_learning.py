@@ -81,3 +81,55 @@ def test_vqvae_loss_decreases_and_codebook_trains():
     assert usages[-1] >= 1
     k = np.asarray(state.model_state["codebook"]["bottleneck"]["level_0"]["k"])
     assert np.isfinite(k).all()
+
+
+def test_glow_bf16_train_step_finite():
+    """Glow-TTS under bf16 mixed precision: finite losses, fp32 masters."""
+    config = Config({
+        "model": {
+            "_import_": "models.glow_tts.glow_tts.GlowTTS",
+            "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
+            "encoder": {"n_vocab": 20, "out_channels": None, "hidden_channels": 12,
+                        "filter_channels": 24, "filter_channels_dp": 24,
+                        "kernel_size": 3, "p_dropout": 0.1, "n_layers": 2,
+                        "n_heads": 2, "window_size": 4, "prenet": True,
+                        "mean_only": True},
+            "decoder": {"in_channels": None, "hidden_channels": 12, "kernel_size": 5,
+                        "n_blocks": 2, "n_layers": 2, "n_sqz": 2, "n_split": 4,
+                        "sigmoid_scale": False, "p_dropout": 0.05, "dilation_rate": 1},
+            "ddi": False,
+        },
+        "dataset": {"_import_": "datasets.ljspeech.LJSpeech", "sample_rate": 22050,
+                    "n_fft": 1024, "hop_length": 256, "win_length": 1024, "n_mels": 8,
+                    "intersperse_blanks": True, "segment_length": -1,
+                    "use_token": True, "use_spect": True, "use_audio": False},
+        "optimizer": {"name": "adam", "lr": 1e-4, "betas": [0.9, 0.98],
+                      "weight_decay": 0, "eps": 1e-9},
+        "scheduler": None,
+        "train": {"log_dir": "/tmp/glow_bf16", "seed": 0, "batch_size": 8,
+                  "ema": False, "grad_clip_norm": 1.0, "fp16": False, "bf16": True,
+                  "num_workers": 0, "n_devices": -1, "total_epochs": 1,
+                  "load_ckpt": None, "ckpt_every_n_steps": 10 ** 9,
+                  "log_every_n_steps": 10, "eval_every_n_epochs": 1,
+                  "run_sanity_val_epoch": False, "max_steps": None},
+    })
+    mesh = make_data_mesh()
+    model = get_model(config)
+    variables = init_model_variables(model, config, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(config, 1.0)
+    state = TrainState.create(variables, tx, use_ema=False)
+    step = make_train_step(model, tx, 0.99, use_ema=False, mesh=mesh, bf16=True)
+
+    rng = np.random.RandomState(0)
+    batch = shard_batch(mesh, {
+        "token": rng.randint(0, 20, (8, 6)).astype(np.int32),
+        "token_len": np.full((8,), 6, np.int32),
+        "spect": rng.randn(8, 12, 8).astype(np.float32),
+        "spect_len": np.full((8,), 12, np.int32),
+        "speaker": None,
+    })
+    for _ in range(3):
+        state, scalars = step(state, batch, jax.random.PRNGKey(1))
+    assert bool(scalars["finite"])
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
