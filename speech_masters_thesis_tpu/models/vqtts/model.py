@@ -82,6 +82,7 @@ class VQTTS(TokenToWaveformModel):
             kernel_size_growth_rate=cfg.kernel_size_growth_rate,
             kernel_size_cycle=cfg.kernel_size_cycle,
             zero_out=cfg.zero_out,
+            remat=cfg.get("remat", False),
         )
         self.audio_encoder = Encoder(**codec_common)
         self.audio_decoder = Decoder(reverse_decoder_dilation=cfg.reverse_decoder_dilation,
