@@ -115,6 +115,80 @@ def bench_glow_tts_rtf(quick: bool = False) -> dict:
     }
 
 
+def bench_glow_train(quick: bool = False) -> dict:
+    """Glow-TTS training step throughput at reference scale (mel-frames/s)."""
+    import jax
+
+    from speech_masters_thesis_tpu.models.ema import default_mu
+    from speech_masters_thesis_tpu.parallel.mesh import make_data_mesh, place_replicated, shard_batch
+    from speech_masters_thesis_tpu.train.harness import get_model, init_model_variables
+    from speech_masters_thesis_tpu.train.loop import make_train_step
+    from speech_masters_thesis_tpu.train.optim import build_optimizer
+    from speech_masters_thesis_tpu.train.state import TrainState
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    batch, frames, tokens = (4, 128, 32) if quick else (8, 768, 128)
+    config = Config({
+        "model": {
+            "_import_": "models.glow_tts.glow_tts.GlowTTS",
+            "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
+            "encoder": {"n_vocab": 148, "out_channels": None, "hidden_channels": 192,
+                        "filter_channels": 768, "filter_channels_dp": 256,
+                        "kernel_size": 3, "p_dropout": 0.1, "n_layers": 6,
+                        "n_heads": 2, "window_size": 4, "prenet": True, "mean_only": True},
+            "decoder": {"in_channels": None, "hidden_channels": 192, "kernel_size": 5,
+                        "n_blocks": 12, "n_layers": 4, "n_sqz": 2, "n_split": 4,
+                        "sigmoid_scale": False, "p_dropout": 0.05, "dilation_rate": 1},
+            "ddi": False,
+        },
+        "dataset": {"_import_": "datasets.ljspeech.LJSpeech", "sample_rate": 22050,
+                    "n_fft": 1024, "hop_length": 256, "win_length": 1024, "n_mels": 80,
+                    "intersperse_blanks": True, "segment_length": -1,
+                    "use_token": True, "use_spect": True, "use_audio": False},
+        "optimizer": {"name": "adam", "lr": 1.0, "betas": [0.9, 0.98],
+                      "weight_decay": 0, "eps": 1e-9},
+        "scheduler": {"name": "noam", "warmup_steps": 4000},
+        "train": {"log_dir": "/tmp/bench_glow", "seed": 0, "batch_size": batch,
+                  "ema": False, "grad_clip_norm": 1.0, "fp16": False, "bf16": True,
+                  "num_workers": 0, "n_devices": -1, "total_epochs": 1,
+                  "load_ckpt": None, "ckpt_every_n_steps": 10 ** 9,
+                  "log_every_n_steps": 10 ** 9, "eval_every_n_epochs": 1,
+                  "run_sanity_val_epoch": False, "max_steps": None},
+    })
+    mesh = make_data_mesh()
+    model = get_model(config)
+    variables = init_model_variables(model, config, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(config, 1.0)
+    state = place_replicated(mesh, TrainState.create(variables, tx, use_ema=False))
+    step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
+                           mesh=mesh, bf16=True)
+
+    rng = np.random.RandomState(0)
+    batch_data = shard_batch(mesh, {
+        "token": rng.randint(0, 149, (batch, tokens)).astype(np.int32),
+        "token_len": np.full((batch,), tokens, np.int32),
+        "spect": (rng.randn(batch, frames, 80) * 0.5 - 4).astype(np.float32),
+        "spect_len": np.full((batch,), frames, np.int32),
+        "speaker": None,
+    })
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        state, sc = step(state, batch_data, key)
+    jax.block_until_ready(sc["loss"])
+    start = time.perf_counter()
+    for _ in range(10):
+        state, sc = step(state, batch_data, key)
+    jax.block_until_ready(sc["loss"])
+    elapsed = time.perf_counter() - start
+    return {
+        "metric": "glow_tts_train_mel_frames_per_sec",
+        "value": round(batch * frames * 10 / elapsed, 1),
+        "batch": batch, "frames": frames,
+        "step_ms": round(elapsed / 10 * 1e3, 2),
+        "note": "reference runs MAS on CPU NumPy every step; here it is on-device",
+    }
+
+
 def bench_mas(quick: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
@@ -154,7 +228,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--only", type=str, default=None,
-                        choices=[None, "lm", "glow", "mas"])
+                        choices=[None, "lm", "glow", "glow_train", "mas"])
     args = parser.parse_args()
 
     from speech_masters_thesis_tpu.parallel.mesh import enable_compilation_cache
@@ -167,6 +241,9 @@ def main():
     if args.only in (None, "glow"):
         results["glow_tts_rtf"] = bench_glow_tts_rtf(args.quick)
         print(json.dumps(results["glow_tts_rtf"]))
+    if args.only in (None, "glow_train"):
+        results["glow_train"] = bench_glow_train(args.quick)
+        print(json.dumps(results["glow_train"]))
     if args.only in (None, "mas"):
         results["mas"] = bench_mas(args.quick)
         print(json.dumps(results["mas"]))

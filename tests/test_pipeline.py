@@ -191,3 +191,23 @@ def test_vqtts_train_cli(pipeline_root):
          "--log_every_n_steps", "1", "--ckpt_every_n_steps", "100",
          "--eval_every_n_epochs", "10", "--max_steps", "2"])
     assert (root / "vqtts" / "ckpts" / "ckpt.last").is_dir()
+
+
+def test_inference_library_apis(pipeline_root):
+    """GlowTTSSynthesizer / LMSampler against the checkpoints the pipeline made."""
+    root, _ = pipeline_root
+    if not (root / "glow" / "ckpts" / "ckpt.2").is_dir():
+        pytest.skip("glow checkpoint not present (run test_glow_tts_train_and_synthesize first)")
+    from speech_masters_thesis_tpu.inference import GlowTTSSynthesizer, LMSampler
+
+    synth = GlowTTSSynthesizer(str(root / "glow"), 2, max_frames=64)
+    mel, audio = synth.synthesize("Hello world")
+    assert mel.shape[1] == 80
+    assert np.isfinite(mel).all()
+    assert audio is not None and np.isfinite(audio).all()
+
+    if (root / "lm" / "ckpts" / "ckpt.2").is_dir():
+        sampler = LMSampler(str(root / "lm"), 2)
+        audio, codes = sampler.sample(n_samples=1, n_steps=8)
+        assert codes.shape == (1, 8)
+        assert audio is not None and audio.shape == (1, 8 * 128)
