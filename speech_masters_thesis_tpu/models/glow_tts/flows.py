@@ -18,7 +18,6 @@ All layers share the signature (x, mask, g=None, reverse=False, ddi=False)
 
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,6 @@ Inherits all EMA/revival machinery from the base BottleneckBlock.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import logging
 from collections import defaultdict
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ from __future__ import annotations
 import copy
 import io
 import os
-from typing import Any, Dict, Iterable, Mapping, Optional
+from typing import Any, Dict, Mapping, Optional
 
 import yaml
 
