@@ -10,22 +10,28 @@ prints ONE JSON line:
 vs_baseline compares against the measured PyTorch-CPU equivalent
 (tools/baseline_cpu.json, produced by tools/torch_baseline.py) — the
 reference publishes no numbers of its own (BASELINE.md). Target: >= 10x.
+
+Timing uses a forced host read as the barrier (utils/timing.py) —
+jax.block_until_ready does NOT block on this image's axon tunnel platform,
+which inflated round-1 numbers ~114x (VERDICT.md). The JSON also reports
+XLA cost-analysis FLOPs and the implied MFU; rate_report refuses to emit a
+number that exceeds chip peak.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 
-# shipped training configuration: bf16 + remat + the largest batch that
-# fits a 16GB-HBM v5e for 3s clips (batch 64 OOMs even with remat)
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+# Shipped training configuration, chosen by the honest round-2 sweep
+# (see BASELINE.md "Optimization ladder"): bf16, batch 16, NO remat —
+# remat's +33% FLOPs lost ~23% throughput once timing was fixed.
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 CLIP_SECONDS = 3.0
 WARMUP_STEPS = 3
-TIMED_STEPS = 20
+TIMED_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 HOP = 256
 
 
@@ -44,10 +50,11 @@ def main():
     from speech_masters_thesis_tpu.train.optim import build_optimizer
     from speech_masters_thesis_tpu.train.state import TrainState
     from speech_masters_thesis_tpu.utils.config import Config, load_config
+    from speech_masters_thesis_tpu.utils import timing
 
     repo = os.path.dirname(os.path.abspath(__file__))
     config = load_config(os.path.join(repo, "configs", "models", "vqvae.yaml"))
-    if os.environ.get("BENCH_REMAT", "1") == "1":
+    if os.environ.get("BENCH_REMAT", "0") == "1":
         config.model.remat = True
     config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
     config = config.merge(Config({"train": {
@@ -84,18 +91,19 @@ def main():
     device_batch = shard_batch(mesh, batch)
     step_rng = jax.random.PRNGKey(0)
 
-    for _ in range(WARMUP_STEPS):
-        state, scalars = train_step(state, device_batch, step_rng)
-    jax.block_until_ready(scalars["loss"])
+    flops = timing.compiled_flops(train_step, state, device_batch, step_rng)
 
-    start = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        state, scalars = train_step(state, device_batch, step_rng)
-    jax.block_until_ready(scalars["loss"])
-    elapsed = time.perf_counter() - start
+    def run_one(carry):
+        new_state, scalars = train_step(carry, device_batch, step_rng)
+        return new_state, scalars["loss"]
 
-    mel_frames = BATCH * t_samples / HOP * TIMED_STEPS
-    value = mel_frames / elapsed / n_chips
+    sec_per_step, state = timing.time_steps(run_one, state, WARMUP_STEPS, TIMED_STEPS)
+
+    mel_frames_per_step = BATCH * t_samples / HOP
+    report = timing.rate_report(per_step_units=mel_frames_per_step,
+                                sec_per_step=sec_per_step,
+                                flops_per_step=flops, bf16=bf16, n_chips=n_chips)
+    value = report["value"]
 
     baseline_path = os.path.join(repo, "tools", "baseline_cpu.json")
     vs_baseline = 0.0
@@ -107,9 +115,12 @@ def main():
 
     result = {
         "metric": "vqvae_train_mel_frames_per_sec_per_chip",
-        "value": round(value, 2),
+        "value": value,
         "unit": "mel-frames/s/chip",
         "vs_baseline": round(vs_baseline, 2),
+        **{k: v for k, v in report.items() if k != "value"},
+        "batch": BATCH,
+        "timed_steps": TIMED_STEPS,
     }
     if not bf16:
         result["metric"] += "_f32"

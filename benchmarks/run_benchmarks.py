@@ -5,11 +5,18 @@ Measures the other BASELINE.md metrics on the available device:
     (12L / d512 / 16h / ff2048, vocab 512) — the reference's decode loop
     re-forwards the whole prefix per token (transformer_lm.py:143-151)
   * Glow-TTS mel-synthesis RTF at reference scale (12 flow blocks)
+  * Glow-TTS training step throughput (on-device MAS)
   * MAS: lax.scan vs fused Pallas kernel
 
-Writes benchmarks/results.json and prints a summary table.
+All timing uses forced host reads (utils/timing.py) — jax.block_until_ready
+does not block on this image's axon tunnel platform and inflated round-1
+numbers ~114x (VERDICT.md).
 
-Usage: python -m benchmarks.run_benchmarks [--quick]
+Writes (merges into) benchmarks/results.json and prints a summary line per
+benchmark. ``--only X`` re-runs one benchmark without clobbering the others'
+stored results.
+
+Usage: python -m benchmarks.run_benchmarks [--quick] [--only lm|glow|glow_train|mas]
 """
 
 from __future__ import annotations
@@ -20,6 +27,8 @@ import os
 import time
 
 import numpy as np
+
+from speech_masters_thesis_tpu.utils import timing
 
 
 def bench_lm_sampling(quick: bool = False) -> dict:
@@ -47,9 +56,9 @@ def bench_lm_sampling(quick: bool = False) -> dict:
         return model.apply(variables, batch, n_steps, rng, sigma=1.0,
                            method=TransformerLM.sample)
 
-    jax.block_until_ready(sample(rng))  # compile
+    timing.sync(sample(rng))  # compile + execute once
     start = time.perf_counter()
-    jax.block_until_ready(sample(jax.random.fold_in(rng, 1)))
+    timing.sync(sample(jax.random.fold_in(rng, 1)))
     elapsed = time.perf_counter() - start
     tokens_per_sec = batch * n_steps / elapsed
     # audio-seconds generated per wall-second (128x compression, 22.05 kHz)
@@ -101,9 +110,9 @@ def bench_glow_tts_rtf(quick: bool = False) -> dict:
         return model.apply(variables, tokens, lens, rng, max_frames=max_frames,
                            method=GlowTTS.infer)
 
-    jax.block_until_ready(infer(rng))
+    timing.sync(infer(rng))
     start = time.perf_counter()
-    mel, z_lengths = jax.block_until_ready(infer(jax.random.fold_in(rng, 1)))
+    timing.sync(infer(jax.random.fold_in(rng, 1)))
     elapsed = time.perf_counter() - start
     audio_seconds = max_frames * 256 / 22050  # full padded output
     return {
@@ -172,19 +181,20 @@ def bench_glow_train(quick: bool = False) -> dict:
         "speaker": None,
     })
     key = jax.random.PRNGKey(0)
-    for _ in range(3):
-        state, sc = step(state, batch_data, key)
-    jax.block_until_ready(sc["loss"])
-    start = time.perf_counter()
-    for _ in range(10):
-        state, sc = step(state, batch_data, key)
-    jax.block_until_ready(sc["loss"])
-    elapsed = time.perf_counter() - start
+    flops = timing.compiled_flops(step, state, batch_data, key)
+
+    def run_one(carry):
+        new_state, sc = step(carry, batch_data, key)
+        return new_state, sc["loss"]
+
+    sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=10)
+    report = timing.rate_report(per_step_units=batch * frames,
+                                sec_per_step=sec_per_step,
+                                flops_per_step=flops, bf16=True)
     return {
         "metric": "glow_tts_train_mel_frames_per_sec",
-        "value": round(batch * frames * 10 / elapsed, 1),
+        **report,
         "batch": batch, "frames": frames,
-        "step_ms": round(elapsed / 10 * 1e3, 2),
         "note": "reference runs MAS on CPU NumPy every step; here it is on-device",
     }
 
@@ -201,24 +211,21 @@ def bench_mas(quick: bool = False) -> dict:
     value = jnp.asarray(rng.randn(b, t_x, t_y).astype(np.float32))
     mask = jnp.ones((b, t_x, t_y), jnp.float32)
 
-    scan_fn = jax.jit(maximum_path)
-    out_scan = jax.block_until_ready(scan_fn(value, mask))
-    start = time.perf_counter()
-    for _ in range(5):
-        out_scan = scan_fn(value, mask)
-    jax.block_until_ready(out_scan)
-    scan_ms = (time.perf_counter() - start) / 5 * 1e3
+    def timed(fn, reps=5):
+        out = fn(value, mask)
+        timing.sync(out)  # compile + run
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = fn(value, mask)
+        timing.sync(out)
+        return (time.perf_counter() - start) / reps * 1e3, out
 
+    scan_ms, out_scan = timed(jax.jit(maximum_path))
     result = {"metric": "mas_ms", "shape": [b, t_x, t_y], "scan_ms": round(scan_ms, 3)}
     try:
-        out_pallas = jax.block_until_ready(maximum_path_pallas(value, mask))
-        agree = bool(jnp.array_equal(out_pallas, out_scan))
-        start = time.perf_counter()
-        for _ in range(5):
-            out_pallas = maximum_path_pallas(value, mask)
-        jax.block_until_ready(out_pallas)
-        result["pallas_ms"] = round((time.perf_counter() - start) / 5 * 1e3, 3)
-        result["pallas_matches_scan"] = agree
+        pallas_ms, out_pallas = timed(jax.jit(maximum_path_pallas))
+        result["pallas_ms"] = round(pallas_ms, 3)
+        result["pallas_matches_scan"] = bool(jnp.array_equal(out_pallas, out_scan))
     except Exception as e:  # pragma: no cover - backend-specific
         result["pallas_error"] = str(e)[:200]
     return result
@@ -248,9 +255,19 @@ def main():
         results["mas"] = bench_mas(args.quick)
         print(json.dumps(results["mas"]))
 
+    # Merge into the stored results so --only runs don't clobber the rest
+    # (round-1 VERDICT weak #5).
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    stored = {}
+    if os.path.exists(out):
+        try:
+            with open(out, encoding="utf-8") as f:
+                stored = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            stored = {}
+    stored.update(results)
     with open(out, "w", encoding="utf-8") as f:
-        json.dump(results, f, indent=2)
+        json.dump(stored, f, indent=2)
 
 
 if __name__ == "__main__":

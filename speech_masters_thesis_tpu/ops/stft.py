@@ -36,6 +36,16 @@ def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     return w[:win_length].astype(np.float64)
 
 
+def make_window(window_type: str, win_length: int) -> np.ndarray:
+    """Named analysis window (reference STFT's ``window=`` knob,
+    transforms.py:97: scipy.signal.get_window(window, N, fftbins=True))."""
+    if window_type in ("hann", "hanning"):
+        return hann_window(win_length)
+    from scipy.signal import get_window
+
+    return np.asarray(get_window(window_type, win_length, fftbins=True), np.float64)
+
+
 def pad_center(window: np.ndarray, size: int) -> np.ndarray:
     lpad = (size - len(window)) // 2
     return np.pad(window, (lpad, size - len(window) - lpad))
@@ -127,6 +137,7 @@ class STFT:
     n_fft: int = 1024
     hop_length: int = 256
     win_length: int | None = None
+    window_type: str = "hann"
     forward_basis: jnp.ndarray = field(repr=False, default=None)
     inverse_basis: jnp.ndarray = field(repr=False, default=None)
     window: np.ndarray = field(repr=False, default=None)
@@ -136,7 +147,7 @@ class STFT:
         object.__setattr__(self, "win_length", win_length)
         assert self.n_fft >= win_length
         basis = dft_basis(self.n_fft)  # (2*cutoff, n_fft)
-        win = pad_center(hann_window(win_length), self.n_fft)
+        win = pad_center(make_window(self.window_type, win_length), self.n_fft)
         # forward DFT runs as framed rFFT (see real_imag); the windowed basis
         # is kept (host-side numpy) for export/introspection, and the pinv
         # basis drives the inverse transform (reference transforms.py:93).
@@ -162,15 +173,32 @@ class STFT:
         return safe_sqrt(real * real + imag * imag)
 
     def _frames(self, audio: jnp.ndarray) -> jnp.ndarray:
-        """Reflect-pad and gather overlapping windowed frames [B, frames, n_fft]."""
+        """Reflect-pad and extract overlapping frames [B, frames, n_fft].
+
+        Framing is Q = ceil(n_fft/hop) contiguous strided slices, each
+        reshaped to [B, frames, hop] and concatenated — NOT a gather. The
+        slice/reshape/concat construction differentiates to dense pad-adds;
+        the previous gather version's scatter-add backward alone measured
+        7% of the VQ-VAE train step on v5e (this loss is differentiated every
+        step through yh).
+        """
         if audio.ndim == 1:
             audio = audio[None, :]
+        hop, n_fft = self.hop_length, self.n_fft
         x = jnp.pad(audio, ((0, 0), (self.pad_amount, self.pad_amount)),
                     mode="reflect").astype(jnp.float32)
-        n_frames = (x.shape[1] - self.n_fft) // self.hop_length + 1
-        idx = (jnp.arange(n_frames)[:, None] * self.hop_length
-               + jnp.arange(self.n_fft)[None, :])  # [frames, n_fft]
-        return jnp.take(x, idx, axis=1)  # [B, frames, n_fft]
+        n_frames = (x.shape[1] - n_fft) // hop + 1
+        n_chunks = -(-n_fft // hop)
+        # right-pad so every chunk can slice a full frames*hop window
+        need = (n_frames - 1) * hop + n_chunks * hop
+        if x.shape[1] < need:
+            x = jnp.pad(x, ((0, 0), (0, need - x.shape[1])))
+        chunks = []
+        for q in range(n_chunks):
+            width = min(hop, n_fft - q * hop)
+            sl = jax.lax.dynamic_slice_in_dim(x, q * hop, n_frames * hop, axis=1)
+            chunks.append(sl.reshape(x.shape[0], n_frames, hop)[..., :width])
+        return jnp.concatenate(chunks, axis=-1)  # [B, frames, n_fft]
 
     def real_imag(self, audio: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         # Framed rFFT: O(n log n) per frame vs the reference's dense DFT conv

@@ -39,11 +39,27 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Host batch dict -> device arrays with batch axis sharded on 'data'.
 
     None entries (elided features) pass through.
+
+    Multi-process: every process holds the same full global batch (loaders
+    are seeded identically, train/harness.py:get_dataloaders), and
+    ``jax.make_array_from_process_local_data`` extracts each process's
+    addressable rows to assemble one global sharded array — the SPMD
+    replacement for the reference's DistributedSampler + per-rank H2D copy
+    (reference utils/commons.py:84-93, train.py:176). A plain ``device_put``
+    would be wrong here: it builds a process-local array that jit cannot
+    treat as one global batch.
     """
     sharding = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
     out = {}
     for key, value in batch.items():
-        out[key] = None if value is None else jax.device_put(value, sharding)
+        if value is None:
+            out[key] = None
+        elif multiprocess:
+            out[key] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(value), np.shape(value))
+        else:
+            out[key] = jax.device_put(value, sharding)
     return out
 
 

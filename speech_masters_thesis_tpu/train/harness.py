@@ -88,6 +88,26 @@ def init_model_variables(model, config, rng: jax.Array) -> dict:
 
 
 def get_dataloaders(config, shard_count: int = 1, shard_index: int = 0) -> Tuple[DataLoader, DataLoader]:
+    """Train/val loaders (reference utils/commons.py:67-117).
+
+    Multi-host training does NOT shard here: every process loads the same
+    global batch (same seed => same permutation) and the per-process slice is
+    taken at device placement (parallel/mesh.py:shard_batch), which keeps all
+    processes in SPMD lockstep with identical bucketed shapes. The
+    shard_count/shard_index args remain for genuinely independent consumers
+    (scripts/generate_vq_dataset.py splits the corpus across workers).
+
+    The val loader keeps the final partial batch (pad_last=False) — the
+    reference evaluates partial batches too, and wrap-padding would
+    double-count val items in the epoch averages. Under multi-process SPMD
+    the partial batch must still be wrap-padded (all processes must present
+    identical global shapes), so pad_last flips back on there; the val-metric
+    bias is documented in that mode.
+    """
+    import jax
+
+    num_workers = int(config.train.get("num_workers", 0) or 0)
+    multiprocess = jax.process_count() > 1
     dataset_cls = resolve_dataset(config.dataset["_import_"])
     train_loader = DataLoader(
         dataset_cls(config, split="train"),
@@ -96,11 +116,14 @@ def get_dataloaders(config, shard_count: int = 1, shard_index: int = 0) -> Tuple
         seed=config.train.seed,
         shard_count=shard_count,
         shard_index=shard_index,
+        num_workers=num_workers,
     )
     val_loader = DataLoader(
         dataset_cls(config, split="val"),
         batch_size=config.train.batch_size,
         shuffle=False,
+        pad_last=multiprocess,
+        num_workers=num_workers,
     )
     return train_loader, val_loader
 

@@ -57,7 +57,16 @@ def build_schedule(config) -> Callable:
     if name == "linear":
         return linear_warmup_schedule(base_lr, sched_cfg["warmup_steps"])
     if name == "cosine":
-        return cosine_schedule(base_lr, config.train.total_steps)
+        # torch CosineAnnealingLR needs a horizon (T_max). Accept it from
+        # scheduler.total_steps or train.total_steps; fail fast with a clear
+        # message instead of crashing mid-run on a missing key.
+        total_steps = sched_cfg.get("total_steps") or config.train.get("total_steps")
+        if not total_steps:
+            raise ValueError(
+                "scheduler: cosine requires `scheduler.total_steps` (or "
+                "`train.total_steps`) — the annealing horizon T_max. Add it "
+                "to the model YAML or pass --total_steps.")
+        return cosine_schedule(base_lr, int(total_steps))
     raise ValueError(f"Didn't recognize scheduler name {name}")
 
 

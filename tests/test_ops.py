@@ -6,7 +6,8 @@ import jax.numpy as jnp
 import pytest
 
 from speech_masters_thesis_tpu.ops.basic import generate_path, safe_log, sequence_mask
-from speech_masters_thesis_tpu.ops.mas import mas_log_prior, maximum_path, maximum_path_numpy
+from oracles import mas_oracle
+from speech_masters_thesis_tpu.ops.mas import mas_log_prior, maximum_path
 from speech_masters_thesis_tpu.ops.stft import (
     STFT,
     MelSpectrogram,
@@ -118,7 +119,7 @@ def test_maximum_path_matches_numpy_oracle(seed):
         & (np.arange(t_y)[None, None, :] < y_lens[:, None, None])
     mask = mask.astype(np.float32)
 
-    ref = maximum_path_numpy(value.copy(), mask.copy())
+    ref = mas_oracle(value.copy(), mask.copy())
     out = np.asarray(maximum_path(jnp.asarray(value), jnp.asarray(mask)))
     np.testing.assert_array_equal(out, ref)
 
@@ -168,6 +169,6 @@ def test_maximum_path_pallas_interpret_matches_oracle():
     y_lens = np.maximum(rng.randint(t_x, t_y + 1, size=b), x_lens)
     mask = ((np.arange(t_x)[None, :, None] < x_lens[:, None, None])
             & (np.arange(t_y)[None, None, :] < y_lens[:, None, None])).astype(np.float32)
-    ref = maximum_path_numpy(value.copy(), mask.copy())
+    ref = mas_oracle(value.copy(), mask.copy())
     out = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask), interpret=True))
     np.testing.assert_array_equal(out, ref)

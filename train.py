@@ -50,6 +50,8 @@ def parse_args():
     parser.add_argument("--run_sanity_val_epoch", default=False, action="store_true")
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Optional hard step cap (smoke tests)")
+    parser.add_argument("--total_steps", type=int, default=None,
+                        help="Annealing horizon for scheduler: cosine (T_max)")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="Capture a device trace of the first N train steps")
     parser.add_argument("--platform", type=str, default=None,
@@ -88,6 +90,7 @@ def build_config(args):
             "eval_every_n_epochs": args.eval_every_n_epochs,
             "run_sanity_val_epoch": args.run_sanity_val_epoch,
             "max_steps": args.max_steps,
+            "total_steps": args.total_steps,
             "profile_steps": args.profile_steps,
         }
     })
@@ -183,7 +186,7 @@ def main():
         state, global_step, epoch = restore_checkpoint(config.train.load_ckpt, state)
         logger.info("Restored checkpoint %s at step %d epoch %d",
                     config.train.load_ckpt, global_step, epoch)
-    elif ddi_ran:
+    elif ddi_ran and jax.process_index() == 0:
         # DDI result is checkpointed as ckpt.0 (reference utils/train_utils.py:58)
         save_checkpoint(config, 0, 0, state)
 
@@ -193,9 +196,14 @@ def main():
     val_step = make_val_step(model, config.train.ema)
     artifact_fn = (save_audio_and_computed_spect if TASK_OUTPUT[type(model).TASK] == "waveform"
                    else save_spect_and_inverted_audio)
+    if jax.process_index() != 0:
+        # val compute runs on every process (SPMD lockstep); only process 0
+        # writes artifacts/TB (reference gates val on rank 0, train.py:366-375)
+        artifact_fn = None
 
     def ckpt_cb(st, gs, ep):
-        save_checkpoint(config, gs, ep, st)
+        if jax.process_index() == 0:
+            save_checkpoint(config, gs, ep, st)
 
     if config.train.run_sanity_val_epoch:
         logger.info("Running sanity val epoch")
@@ -225,7 +233,8 @@ def main():
         # (reference train.py:454-458 catches KeyboardInterrupt per rank)
         logger.info("Interrupted at step %d; saving final checkpoint", global_step)
 
-    save_checkpoint(config, global_step, -1, state)
+    if jax.process_index() == 0:
+        save_checkpoint(config, global_step, -1, state)
     if writer is not None:
         writer.close()
 
