@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from speech_masters_thesis_tpu.models.base import TokenToSpectrogramModel
 from speech_masters_thesis_tpu.models.glow_tts.encoder import FlowSpecDecoder, TextEncoder
 from speech_masters_thesis_tpu.ops.basic import generate_path, sequence_mask
-from speech_masters_thesis_tpu.ops.mas import mas_log_prior, maximum_path
+from speech_masters_thesis_tpu.ops.mas import mas_log_prior, maximum_path_auto
 from speech_masters_thesis_tpu.utils.config import Config
 
 
@@ -141,7 +141,7 @@ class GlowTTS(TokenToSpectrogramModel):
         attn_mask = x_mask[:, :, 0][:, :, None] * y_mask[:, :, 0][:, None, :]  # [B, T_x, T_y]
         logp = mas_log_prior(jax.lax.stop_gradient(x_m), jax.lax.stop_gradient(x_logs),
                              jax.lax.stop_gradient(z_dec))
-        attn = jax.lax.stop_gradient(maximum_path(logp, attn_mask))  # [B, T_x, T_y]
+        attn = jax.lax.stop_gradient(maximum_path_auto(logp, attn_mask))  # [B, T_x, T_y]
 
         # Align prior stats to frames
         logw_dec = jnp.log(1e-8 + jnp.sum(attn, axis=-1)) * x_mask[:, :, 0]

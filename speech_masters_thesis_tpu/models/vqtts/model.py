@@ -35,7 +35,7 @@ from speech_masters_thesis_tpu.ops.losses import (
     MultiResolutionSpectralLoss,
     cross_entropy,
 )
-from speech_masters_thesis_tpu.ops.mas import maximum_path
+from speech_masters_thesis_tpu.ops.mas import maximum_path_auto
 from speech_masters_thesis_tpu.utils.config import Config
 
 
@@ -127,11 +127,12 @@ class VQTTS(TokenToWaveformModel):
             n_ffts=tuple(cfg.loss.n_ffts),
             hop_lengths=tuple(cfg.loss.hop_lengths),
             win_lengths=tuple(cfg.loss.win_lengths) if cfg.loss.win_lengths else None,
+            window=cfg.loss.get("window", "hann"),
             log=cfg.loss.log,
         )
         self.multi_recon_loss = MultiNormReconstructionLoss(
             l1=cfg.loss.l1, l2=cfg.loss.l2, linf=cfg.loss.linf, linf_topk=cfg.loss.linf_topk,
-            linf_approx=cfg.loss.get("linf_approx", True),
+            linf_approx=cfg.loss.get("linf_approx", False),
         )
 
     @staticmethod
@@ -169,7 +170,7 @@ class VQTTS(TokenToWaveformModel):
         distances = pairwise_l2(x_enc, y_enc)  # [B, T_x, T_q]
         attn_mask = x_mask[:, :, 0][:, :, None] * q_mask_flat[:, None, :]
         attn = jax.lax.stop_gradient(
-            maximum_path(-jax.lax.stop_gradient(distances), attn_mask))
+            maximum_path_auto(-jax.lax.stop_gradient(distances), attn_mask))
 
         # Grouped quantize/dequantize audio encodings
         y_q, y_d, loss_commit, quant_metrics = self.quant_bottleneck(

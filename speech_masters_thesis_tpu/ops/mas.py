@@ -64,6 +64,18 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return path * mask
 
 
+def maximum_path_auto(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """MAS with backend dispatch: the fused Pallas kernel on TPU (measured
+    1.77x faster than the scan at b8 x 256 x 1024 and bitwise-identical,
+    benchmarks/results.json "mas"), lax.scan elsewhere (CPU tests run the
+    Pallas kernel separately in interpret mode)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from speech_masters_thesis_tpu.ops.pallas.mas import maximum_path_pallas
+
+        return maximum_path_pallas(value, mask)
+    return maximum_path(value, mask)
+
+
 def mas_log_prior(x_m: jnp.ndarray, x_logs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     """Gaussian log-likelihood table for GlowTTS MAS, as 2 matmuls + 2 rank-1 terms.
 

@@ -172,10 +172,23 @@ def train_epoch(
     if progress:
         iterator = tqdm(dataloader, total=len(dataloader), leave=False,
                         desc=f"Epoch {epoch} [train]")
-    for batch in iterator:
+    import time as _time
+
+    epoch_start = _time.perf_counter()
+    data_wait = 0.0  # host time blocked on the input pipeline
+    steps_this_epoch = 0
+    it = iter(iterator)
+    while True:
+        t0 = _time.perf_counter()
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+        data_wait += _time.perf_counter() - t0
         device_batch = shard_batch(mesh, batch)
         state, scalars = train_step(state, device_batch, rng)
         global_step += 1
+        steps_this_epoch += 1
         pending.append(scalars)
 
         if profiling and global_step >= profile_steps:
@@ -197,6 +210,16 @@ def train_epoch(
     # Flush the trailing window: steps after the last log boundary would
     # otherwise never be NaN-checked or logged (round-1 VERDICT weak #3).
     drain(global_step)
+
+    # Honest end-to-end rate: the drain above is a real execution barrier, so
+    # this wall-clock includes device compute AND the input pipeline.
+    elapsed = _time.perf_counter() - epoch_start
+    if steps_this_epoch:
+        logger.info(
+            "epoch %d: %d steps in %.1fs (%.2f steps/s end-to-end; "
+            "%.1fs = %.0f%% blocked on input pipeline)",
+            epoch, steps_this_epoch, elapsed, steps_this_epoch / elapsed,
+            data_wait, 100.0 * data_wait / max(elapsed, 1e-9))
 
     return state, global_step
 

@@ -97,7 +97,7 @@ def rate_report(*, per_step_units: float, sec_per_step: float,
         out["tflops_per_step"] = round(flops_per_step / 1e12, 2)
         out["tflops_per_sec"] = round(tflops, 2)
         out["mfu"] = round(tflops * 1e12 / (peak * n_chips), 4)
-        if tflops * 1e12 > 1.05 * peak * n_chips and jax.default_backend() != "cpu":
+        if tflops * 1e12 > 1.05 * peak * n_chips:
             raise RuntimeError(
                 f"Implied {tflops:.1f} TFLOP/s exceeds chip peak "
                 f"({peak / 1e12:.0f} TFLOP/s x {n_chips}); timing barrier is "
