@@ -56,6 +56,10 @@ def main():
     config = load_config(os.path.join(repo, "configs", "models", "vqvae.yaml"))
     if os.environ.get("BENCH_REMAT", "0") == "1":
         config.model.remat = True
+    # fused Pallas GatedHiFi blocks (ops/pallas/gated_hifi.py); BENCH_FUSED=0 opts out
+    config.model.fused_blocks = os.environ.get("BENCH_FUSED", "1") == "1" \
+        and jax.default_backend() == "tpu"
+
     config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
     config = config.merge(Config({"train": {
         "log_dir": "/tmp/bench", "seed": 0, "batch_size": BATCH, "ema": True,

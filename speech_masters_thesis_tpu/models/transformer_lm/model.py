@@ -207,6 +207,7 @@ class TransformerLM(TokenToWaveformModel):
                 kernel_size_cycle=vq_cfg.kernel_size_cycle,
                 zero_out=vq_cfg.zero_out,
                 reverse_decoder_dilation=vq_cfg.reverse_decoder_dilation,
+                fused=vq_cfg.get("fused_blocks", False),
                 name="vqvae_decoder")
         else:
             self.vq_bottleneck = None

@@ -83,6 +83,7 @@ class VQTTS(TokenToWaveformModel):
             kernel_size_cycle=cfg.kernel_size_cycle,
             zero_out=cfg.zero_out,
             remat=cfg.get("remat", False),
+            fused=cfg.get("fused_blocks", False),
         )
         self.audio_encoder = Encoder(**codec_common)
         self.audio_decoder = Decoder(reverse_decoder_dilation=cfg.reverse_decoder_dilation,

@@ -10,7 +10,7 @@ Zero-initialized output projections (``zero_out``) are functional behavior
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -109,6 +109,7 @@ class ResNetBlock(nn.Module):
     zero_out: bool = True
     res_scale: bool = False
     reverse_dilation: bool = False
+    fused: bool = False  # fusion only exists for gated_hifi; accepted and ignored
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
@@ -140,6 +141,7 @@ class HiFiBlock(nn.Module):
     kernel_size_cycle: Optional[int] = None
     zero_out: bool = True
     res_scale: bool = False
+    fused: bool = False  # fusion only exists for gated_hifi; accepted and ignored
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
@@ -172,6 +174,7 @@ class WaveNetBlock(nn.Module):
     kernel_size_cycle: Optional[int] = None
     zero_out: bool = True
     res_scale: bool = False
+    fused: bool = False  # fusion only exists for gated_hifi; accepted and ignored
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
@@ -198,13 +201,32 @@ class _Conv1x1Params(nn.Module):
     the caller batches several of these into one matmul."""
 
     features: int
+    kernel_size: int = 1
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, in_features: int):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (1, in_features, self.features))
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        kernel = self.param("kernel", init,
+                            (self.kernel_size, in_features, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
+
+
+class _ResLayerParams(nn.Module):
+    """Declares a ResLayer's exact param tree (Conv_0 / Conv_1) without
+    running it — the fused Pallas block consumes the raw weights."""
+
+    n_state: int
+    kernel_size: int
+    zero_out: bool
+
+    @nn.compact
+    def __call__(self, n_in: int):
+        k0, b0 = _Conv1x1Params(self.n_state, self.kernel_size, name="Conv_0")(n_in)
+        out_init = nn.initializers.zeros if self.zero_out else nn.initializers.lecun_normal()
+        k1, b1 = _Conv1x1Params(n_in, 1, kernel_init=out_init, name="Conv_1")(self.n_state)
+        return k0, b0, k1, b1
 
 
 class GatedHiFiBlock(nn.Module):
@@ -222,9 +244,24 @@ class GatedHiFiBlock(nn.Module):
     kernel_size_cycle: Optional[int] = None
     zero_out: bool = True
     res_scale: bool = False
+    # run the whole block as one fused Pallas kernel (forward + recompute
+    # backward in VMEM — see ops/pallas/gated_hifi.py). Same param tree,
+    # same math at valid positions; config knob: model.fused_blocks.
+    fused: bool = False
+    # reference ResLayer dropout rate (resnet.py:18); only consulted by the
+    # fused path — the unfused path uses ResLayer's own default
+    p_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
+        use_fused = self.fused
+        if use_fused and train and self.p_dropout > 0 and jax.default_backend() != "tpu":
+            # the fused kernel's dropout uses the TPU hardware PRNG, which has
+            # no interpret-mode lowering on CPU; train-mode falls back to the
+            # flax path there (eval / p=0 still exercises the kernel)
+            use_fused = False
+        if use_fused:
+            return self._fused(x, mask, train)
         m = 1.0 if mask is None else mask
         scale = 1.0 if not self.res_scale else 1.0 / math.sqrt(self.n_depth)
 
@@ -274,6 +311,67 @@ class GatedHiFiBlock(nn.Module):
         gate_init = nn.initializers.zeros if self.zero_out else nn.initializers.lecun_normal()
         z = nn.Conv(self.n_in, (1,), kernel_init=gate_init, name="gate")(z * m)
         return x + scale * z, m
+
+    def _fused(self, x: jnp.ndarray, mask: jnp.ndarray | None, train: bool):
+        """One Pallas kernel for the whole block (ops/pallas/gated_hifi.py).
+
+        Declares the identical param tree as the unfused path, then hands the
+        raw weights to the fused kernel. Output differs from the unfused path
+        only at mask=0 positions (masked residual base; every downstream
+        consumer re-masks), and in the dropout mask realization (hardware
+        PRNG instead of threefry; same Bernoulli distribution).
+        """
+        from speech_masters_thesis_tpu.ops.pallas.gated_hifi import (
+            GatedHiFiSpec, apply_fused_gated_hifi)
+
+        W = self.n_in
+        H = 2 * W
+        depth = self.n_depth
+        scale = 1.0 if not self.res_scale else 1.0 / math.sqrt(depth)
+        kernels = tuple(
+            3 + self.kernel_size_growth_rate * get_mod_cycle(d, self.kernel_size_cycle)
+            for d in range(depth))
+        dilations = tuple(
+            self.dilation_growth_rate ** get_mod_cycle(d, self.dilation_cycle)
+            for d in range(depth))
+
+        branch_in = [_Conv1x1Params(H, name=f"branch_in_{d}")(x.shape[-1])
+                     for d in range(depth)]
+        wall = jnp.concatenate([k[0] for k, _ in branch_in], axis=-1)     # [W, 4H]
+        ball = jnp.concatenate([b for _, b in branch_in], axis=-1)[None]  # [1, 4H]
+        res = [_ResLayerParams(H, kernels[d], self.zero_out,
+                               name=f"branch_res_{d}")(H) for d in range(depth)]
+        ks = tuple(r[0] for r in res)
+        bs = tuple(r[1][None] for r in res)
+        w1s = tuple(r[2][0] for r in res)
+        b1s = tuple(r[3][None] for r in res)
+        gate_init = nn.initializers.zeros if self.zero_out else nn.initializers.lecun_normal()
+        kg, bg = _Conv1x1Params(W, 1, kernel_init=gate_init, name="gate")(W)
+        wg, bg = kg[0], bg[None]
+
+        p = self.p_dropout if train else 0.0
+        if p > 0.0:
+            seed_bits = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            seed_f32 = jax.lax.bitcast_convert_type(seed_bits, jnp.float32)
+        else:
+            seed_f32 = jnp.float32(0.0)
+
+        import os
+        spec = GatedHiFiSpec(
+            n_in=W, kernels=kernels, dilations=dilations, res_scale=scale,
+            p_drop=float(p),
+            # tile knobs for perf experiments (defaults chosen by the v5e
+            # sweep recorded in BASELINE.md: fwd 384 / bwd 768 won at
+            # 129.1 ms; bwd >= 896 exceeds the 16MB scoped-VMEM limit)
+            tile_fwd=int(os.environ.get("GH_TILE_FWD", 384)),
+            tile_bwd=int(os.environ.get("GH_TILE_BWD", 768)),
+            interpret=jax.default_backend() != "tpu",
+        )
+        spec.check()
+        m = 1.0 if mask is None else mask
+        out = apply_fused_gated_hifi(spec, seed_f32, x * m, wall, ball,
+                                     ks, bs, w1s, b1s, wg, bg)
+        return out, m
 
 
 BLOCKS = {

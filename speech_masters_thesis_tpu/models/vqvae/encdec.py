@@ -97,6 +97,7 @@ class EncoderConvBlock(nn.Module):
     kernel_size_cycle: Optional[int] = None
     zero_out: bool = True
     res_scale: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
@@ -113,6 +114,7 @@ class EncoderConvBlock(nn.Module):
                 kernel_size_growth_rate=self.kernel_size_growth_rate,
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
+                fused=self.fused,
             )(x, mask, train=train)
         x, mask = MaskedConv1d(self.output_emb_width, 3, 1, 1)(x, mask)
         return x, mask
@@ -136,6 +138,7 @@ class DecoderConvBlock(nn.Module):
     zero_out: bool = True
     res_scale: bool = False
     reverse_decoder_dilation: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
@@ -155,6 +158,7 @@ class DecoderConvBlock(nn.Module):
             )
             if self.block_type == "base":
                 block_kwargs["reverse_dilation"] = self.reverse_decoder_dilation
+            block_kwargs["fused"] = self.fused
             x, mask = Block(self.width, self.depth, **block_kwargs)(x, mask, train=train)
             out_width = self.input_emb_width if i == (self.down_t - 1) else self.width
             x, mask = MaskedConvTranspose1d(out_width, filter_t, self.stride_t, pad_t)(x, mask)
@@ -188,6 +192,8 @@ class Encoder(nn.Module):
     # activation memory, unlocking larger batches (3s clips at batch 32 OOM
     # a 16GB-HBM chip without it)
     remat: bool = False
+    # run gated_hifi blocks as fused Pallas kernels (ops/pallas/gated_hifi.py)
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
@@ -206,6 +212,7 @@ class Encoder(nn.Module):
                 kernel_size_growth_rate=self.kernel_size_growth_rate,
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
+                fused=self.fused,
                 name=f"level_{level}",
             )(x, mask, train)
         return x, mask
@@ -234,6 +241,7 @@ class Decoder(nn.Module):
     res_scale: bool = False
     reverse_decoder_dilation: bool = False
     remat: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray],
@@ -259,6 +267,7 @@ class Decoder(nn.Module):
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
                 reverse_decoder_dilation=self.reverse_decoder_dilation,
+                fused=self.fused,
                 name=f"level_{level}",
             )(x, mask, train)
             if level != 0 and all_levels:

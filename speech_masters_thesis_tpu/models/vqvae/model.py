@@ -62,6 +62,7 @@ class VQVAE(WaveformReconstructionModel):
             kernel_size_cycle=cfg.kernel_size_cycle,
             zero_out=cfg.zero_out,
             remat=cfg.get("remat", False),
+            fused=cfg.get("fused_blocks", False),
         )
         self.encoder = Encoder(**common)
         self.decoder = Decoder(reverse_decoder_dilation=cfg.reverse_decoder_dilation, **common)

@@ -23,7 +23,16 @@ DATA_AXIS = "data"
 
 def make_data_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    mesh = Mesh(np.asarray(devices), (DATA_AXIS,))
+    try:
+        # publish as the ambient mesh: shard_map-wrapped Pallas ops
+        # (ops/pallas/gated_hifi.py:apply_fused_gated_hifi) discover the data
+        # axis through jax.sharding.get_abstract_mesh — without this, XLA
+        # cannot partition the opaque kernel and would all-gather + replicate
+        jax.sharding.set_mesh(mesh)
+    except Exception:  # pragma: no cover - older jax without set_mesh
+        pass
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -23,7 +23,8 @@ def capture(args) -> str:
     from tools.stepfactory import build_vqvae_step
 
     train_step, state, batch, rng, meta = build_vqvae_step(
-        batch_size=args.batch, bf16=not args.f32, remat=not args.no_remat)
+        batch_size=args.batch, bf16=not args.f32, remat=not args.no_remat,
+        fused=args.fused)
 
     def run_one(carry):
         new_state, scalars = train_step(carry, batch, rng)
@@ -107,6 +108,8 @@ if __name__ == "__main__":
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="fused Pallas GatedHiFi blocks (model.fused_blocks)")
     parser.add_argument("--f32", action="store_true")
     parser.add_argument("--trace-dir", type=str, default="/tmp/vqvae_trace")
     parser.add_argument("--parse-only", action="store_true",

@@ -16,7 +16,7 @@ CLIP_SECONDS = 3.0
 
 
 def build_vqvae_step(batch_size: int = 32, bf16: bool = True, remat: bool = True,
-                     ema: bool = True):
+                     ema: bool = True, fused: bool = False):
     """Returns (train_step, state, device_batch, rng, meta)."""
     import jax
 
@@ -32,6 +32,7 @@ def build_vqvae_step(batch_size: int = 32, bf16: bool = True, remat: bool = True
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     config = load_config(os.path.join(repo, "configs", "models", "vqvae.yaml"))
     config.model.remat = remat
+    config.model.fused_blocks = fused
     config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
     config = config.merge(Config({"train": {
         "log_dir": "/tmp/bench", "seed": 0, "batch_size": batch_size, "ema": ema,
@@ -61,7 +62,7 @@ def build_vqvae_step(batch_size: int = 32, bf16: bool = True, remat: bool = True
     meta = {
         "batch": batch_size, "t_samples": t_samples,
         "mel_frames_per_step": batch_size * t_samples / HOP,
-        "bf16": bf16, "remat": remat,
+        "bf16": bf16, "remat": remat, "fused": fused,
         "model": model, "config": config, "mesh": mesh, "tx": tx,
     }
     return train_step, state, device_batch, jax.random.PRNGKey(0), meta
