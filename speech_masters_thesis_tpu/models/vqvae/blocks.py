@@ -357,14 +357,16 @@ class GatedHiFiBlock(nn.Module):
             seed_f32 = jnp.float32(0.0)
 
         import os
+        # tile defaults from the v5e sweep recorded in BASELINE.md: fwd 384 /
+        # bwd 768 won at 129.1 ms in bf16; bwd >= 896 exceeds the 16MB
+        # scoped-VMEM limit. fp32 activations double the VMEM footprint, so
+        # the backward tile halves to stay under the same limit.
+        default_bwd = 768 if x.dtype == jnp.bfloat16 else 384
         spec = GatedHiFiSpec(
             n_in=W, kernels=kernels, dilations=dilations, res_scale=scale,
             p_drop=float(p),
-            # tile knobs for perf experiments (defaults chosen by the v5e
-            # sweep recorded in BASELINE.md: fwd 384 / bwd 768 won at
-            # 129.1 ms; bwd >= 896 exceeds the 16MB scoped-VMEM limit)
             tile_fwd=int(os.environ.get("GH_TILE_FWD", 384)),
-            tile_bwd=int(os.environ.get("GH_TILE_BWD", 768)),
+            tile_bwd=int(os.environ.get("GH_TILE_BWD", default_bwd)),
             interpret=jax.default_backend() != "tpu",
         )
         spec.check()

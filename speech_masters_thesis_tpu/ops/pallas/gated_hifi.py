@@ -38,11 +38,17 @@ Semantics and parity notes (vs the flax path, blocks.py:210-276):
     realization differs from the flax path for the same key. Training
     semantics only; eval (deterministic) is bit-comparable.
 
-Halo handling: inputs are padded by one tile on each side (host-side
-jnp.pad) and each grid step receives three consecutive tiles via
-overlapping BlockSpecs (prev/cur/next), from which it slices the
-center +- halo window. This keeps all DMA on the standard Pallas pipeline
-(double-buffered) with no manual semaphores. Requires 2*halo <= tile.
+Halo handling: each grid step receives three consecutive tiles of the
+UNPADDED input via overlapping BlockSpecs whose index maps clamp the
+neighbor index to [0, n_tiles-1] (no host-side jnp.pad: padding a
+[B, T, W] level-0 activation costs two full HBM round trips per pallas
+call — measured ~5 ms/step of pure `pad` ops). Rows whose absolute
+position falls outside [0, T) therefore contain arbitrary data (clamped
+duplicates or an uninitialized partial tail block); the kernels multiply
+the input window by the validity mask up front, which reproduces
+zero-padding semantics exactly. This keeps all DMA on the standard Pallas
+pipeline (double-buffered) with no manual semaphores. Requires
+2*halo <= tile.
 """
 
 from __future__ import annotations
@@ -198,6 +204,10 @@ def _fwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
     t0 = i * Tt - halo                                      # absolute pos of row 0
     chunk0 = t0 // CHUNK
     valid = _valid_mask(Tp, t0, T)
+    # rows outside [0, T) hold clamped-duplicate or uninitialized data
+    # (see module docstring); zero them to get zero-padding semantics.
+    # where (not *) so an uninitialized-NaN bit pattern cannot propagate
+    xw = jnp.where(valid > 0, xw, jnp.zeros_like(xw))
 
     z_all = jnp.dot(xw.astype(dot_dtype), wall_ref[...].astype(dot_dtype),
                     preferred_element_type=jnp.float32) + ball_ref[...].astype(jnp.float32)
@@ -257,6 +267,12 @@ def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
     t0 = i * Tt - 2 * halo
     chunk0 = t0 // CHUNK
     valid_p = _valid_mask(Tp, t0, T)
+    # zero rows outside [0, T) (clamped/uninitialized blocks, see module
+    # docstring) so recompute and cotangent flow see zero-padding
+    # semantics; where (not *) so uninitialized NaN cannot propagate
+    xw = jnp.where(valid_p > 0, xw, jnp.zeros_like(xw))
+    valid_m = _valid_mask(Tm, i * Tt - halo, T)
+    gw = jnp.where(valid_m > 0, gw, jnp.zeros_like(gw))
 
     z_all = jnp.dot(xw.astype(dot_dtype), wall_ref[...].astype(dot_dtype),
                     preferred_element_type=jnp.float32) + ball_ref[...].astype(jnp.float32)
@@ -405,12 +421,14 @@ def _block_flops(spec: GatedHiFiSpec, B: int, T: int, bwd: bool) -> pl.CostEstim
     return pl.CostEstimate(flops=flops, transcendentals=trans,
                            bytes_accessed=bytes_accessed)
 
-def _pad_tiles(x, tile: int):
-    """Pad [B, T, C] with one full tile head + tail-to-multiple + one tile."""
-    T = x.shape[1]
-    n_tiles = -(-T // tile)
-    pad_tail = (n_tiles + 1) * tile - T
-    return jnp.pad(x, ((0, 0), (tile, pad_tail), (0, 0))), n_tiles
+def _halo_specs(tile: int, W: int, n_tiles: int):
+    """Three overlapping BlockSpecs (prev/cur/next tile) over the unpadded
+    array; neighbor indices clamp to the array so no block read is OOB."""
+    def spec(delta):
+        def imap(b, i, *_, delta=delta):
+            return (b, jnp.clip(i + delta, 0, n_tiles - 1), 0)
+        return pl.BlockSpec((1, tile, W), imap, memory_space=pltpu.VMEM)
+    return [spec(-1), spec(0), spec(1)]
 
 
 def _weight_specs(n: int):
@@ -422,15 +440,11 @@ def _fwd(spec: GatedHiFiSpec, seed, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
     depth, H = spec.depth, spec.hidden
     dot_dtype = xm.dtype
     tile = spec.tile_fwd
-    xpad, n_tiles = _pad_tiles(xm, tile)
-
-    def tile_spec(off):
-        return pl.BlockSpec((1, tile, W), lambda b, i, *_, off=off: (b, i + off, 0),
-                            memory_space=pltpu.VMEM)
+    n_tiles = -(-T // tile)
 
     grid = (B, n_tiles)
     in_specs = (
-        [tile_spec(0), tile_spec(1), tile_spec(2)]
+        _halo_specs(tile, W, n_tiles)
         + _weight_specs(2 + 4 * depth + 2)
     )
     out = pl.pallas_call(
@@ -445,7 +459,7 @@ def _fwd(spec: GatedHiFiSpec, seed, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
         out_shape=jax.ShapeDtypeStruct((B, T, W), xm.dtype),
         cost_estimate=_block_flops(spec, B, T, bwd=False),
         interpret=spec.interpret,
-    )(seed, xpad, xpad, xpad, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
+    )(seed, xm, xm, xm, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
     return out
 
 
@@ -455,12 +469,8 @@ def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
     dot_dtype = xm.dtype
     tile = spec.tile_bwd
     Tm = tile + 2 * spec.halo
-    xpad, n_tiles = _pad_tiles(xm, tile)
-    gpad, _ = _pad_tiles(g.astype(xm.dtype), tile)
-
-    def tile_spec(off):
-        return pl.BlockSpec((1, tile, W), lambda b, i, *_, off=off: (b, i + off, 0),
-                            memory_space=pltpu.VMEM)
+    n_tiles = -(-T // tile)
+    gc = g.astype(xm.dtype)
 
     acc = lambda shape: pl.BlockSpec(shape, lambda b, i, *_: tuple(0 for _ in shape),
                                      memory_space=pltpu.VMEM)
@@ -488,9 +498,9 @@ def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
         acc((1, W)),
     )
     grid = (B, n_tiles)
+    halo3 = _halo_specs(tile, W, n_tiles)
     in_specs = (
-        [tile_spec(0), tile_spec(1), tile_spec(2),
-         tile_spec(0), tile_spec(1), tile_spec(2)]
+        halo3 + halo3
         + _weight_specs(2 + 4 * depth + 2)
     )
     outs = pl.pallas_call(
@@ -508,7 +518,7 @@ def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
         out_shape=out_shape,
         cost_estimate=_block_flops(spec, B, T, bwd=True),
         interpret=spec.interpret,
-    )(seed, xpad, xpad, xpad, gpad, gpad, gpad, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
+    )(seed, xm, xm, xm, gc, gc, gc, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
 
     return outs[0], outs[1:]
 
