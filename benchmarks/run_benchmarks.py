@@ -140,6 +140,9 @@ def bench_glow_train(quick: bool = False) -> dict:
     config = Config({
         "model": {
             "_import_": "models.glow_tts.glow_tts.GlowTTS",
+            # fused Pallas coupling conditioner (ops/pallas/wn_coupling.py);
+            # GLOW_FUSED=0 opts out for A/B timing
+            "fused_blocks": os.environ.get("GLOW_FUSED", "1") == "1",
             "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
             "encoder": {"n_vocab": 148, "out_channels": None, "hidden_channels": 192,
                         "filter_channels": 768, "filter_channels_dp": 256,

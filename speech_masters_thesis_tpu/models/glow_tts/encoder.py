@@ -110,6 +110,8 @@ class FlowSpecDecoder(nn.Module):
     n_sqz: int = 2
     sigmoid_scale: bool = False
     gin_channels: int = 0
+    # fused Pallas conditioner kernels (ops/pallas/wn_coupling.py)
+    fused: bool = False
 
     def setup(self):
         flows = []
@@ -122,7 +124,7 @@ class FlowSpecDecoder(nn.Module):
                 kernel_size=self.kernel_size, dilation_rate=self.dilation_rate,
                 n_layers=self.n_layers, p_dropout=self.p_dropout,
                 sigmoid_scale=self.sigmoid_scale, gin_channels=self.gin_channels,
-                name=f"coupling_{b}"))
+                fused=self.fused, name=f"coupling_{b}"))
         self.flows = flows
 
     def __call__(self, spect: jnp.ndarray, spect_mask: jnp.ndarray,

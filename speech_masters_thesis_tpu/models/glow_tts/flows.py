@@ -37,8 +37,9 @@ class WNConv1d(nn.Module):
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_features = x.shape[-1]
+    def __call__(self, x: jnp.ndarray | None = None, *,
+                 in_features: int | None = None, return_params: bool = False):
+        in_features = x.shape[-1] if x is not None else in_features
         v = self.param("v", nn.initializers.lecun_normal(),
                        (self.kernel_size, in_features, self.features))
         # torch init: g = ||w||; with lecun-init v this starts near ||v||
@@ -47,6 +48,11 @@ class WNConv1d(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
         kernel = v * (g / jnp.maximum(norm, 1e-12))[None, None, :]
+        if return_params:
+            # fused-kernel path (ops/pallas/wn_coupling.py): hand back the
+            # normalized weights instead of running the conv; grads flow
+            # through the normalization by ordinary autodiff
+            return kernel, bias
         pad = ((self.kernel_size - 1) * self.dilation) // 2
         y = jax.lax.conv_general_dilated(
             x, kernel,
@@ -192,6 +198,46 @@ class WN(nn.Module):
         return output * mask
 
 
+class _WNParams(nn.Module):
+    """Declares the WN conditioner's exact param tree (in_i / res_skip_i)
+    without running it — the fused Pallas kernel consumes the normalized
+    weights directly. Named "wn" so checkpoints are interchangeable with
+    the unfused path."""
+
+    hidden_channels: int
+    kernel_size: int
+    n_layers: int
+
+    @nn.compact
+    def __call__(self):
+        H = self.hidden_channels
+        wins, bins, wrss, brss = [], [], [], []
+        for i in range(self.n_layers):
+            k, b = WNConv1d(2 * H, self.kernel_size, name=f"in_{i}")(
+                in_features=H, return_params=True)
+            wins.append(k)                      # [k, H, 2H]
+            bins.append(b[None])                # [1, 2H]
+            rs_ch = 2 * H if i < self.n_layers - 1 else H
+            k, b = WNConv1d(rs_ch, 1, name=f"res_skip_{i}")(
+                in_features=H, return_params=True)
+            wrss.append(k[0])                   # [H, rs_ch]
+            brss.append(b[None])
+        return wins, bins, wrss, brss
+
+
+class _EndConvParams(nn.Module):
+    """Zero-init end conv params with nn.Conv's names (kernel/bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.zeros,
+                            (1, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel[0], bias[None]
+
+
 class CouplingBlock(nn.Module):
     """Affine coupling: transform the second channel half conditioned on the first."""
 
@@ -203,6 +249,12 @@ class CouplingBlock(nn.Module):
     gin_channels: int = 0
     p_dropout: float = 0.0
     sigmoid_scale: bool = False
+    # run the conditioner (start + WN + end) as one fused Pallas kernel
+    # (ops/pallas/wn_coupling.py); config knob: model.fused_blocks
+    fused: bool = False
+    # largest squeezed sequence the fused kernel handles per batch element
+    # (whole-sequence-in-VMEM design; beyond this, fall back to flax)
+    fused_max_t: int = 768
 
     @nn.compact
     def __call__(self, x, mask=None, g=None, reverse: bool = False,
@@ -212,12 +264,16 @@ class CouplingBlock(nn.Module):
         half = self.in_channels // 2
         x_0, x_1 = x[..., :half], x[..., half:]
 
-        h = WNConv1d(self.hidden_channels, 1, name="start")(x_0) * mask
-        h = WN(self.hidden_channels, self.kernel_size, self.dilation_rate,
-               self.n_layers, self.p_dropout, self.gin_channels, name="wn")(h, mask, g, train=train)
-        # zero-init end conv: coupling starts as identity (submodules.py:365-370)
-        out = nn.Conv(self.in_channels, (1,), kernel_init=nn.initializers.zeros,
-                      bias_init=nn.initializers.zeros, name="end")(h)
+        use_fused = (self.fused and g is None and x.shape[1] <= self.fused_max_t)
+        if use_fused and train and self.p_dropout > 0 \
+                and jax.default_backend() != "tpu":
+            # the fused kernel's dropout needs the TPU hardware PRNG (no
+            # interpret-mode lowering); train-mode falls back off-TPU
+            use_fused = False
+        if use_fused:
+            out = self._fused_conditioner(x_0, mask, train)
+        else:
+            out = self._flax_conditioner(x_0, mask, g, train)
 
         m = out[..., :half]
         logs = out[..., half:]
@@ -232,3 +288,52 @@ class CouplingBlock(nn.Module):
             logdet = jnp.sum(logs * mask, axis=(1, 2))
 
         return jnp.concatenate([x_0, z_1], axis=-1), logdet
+
+    def _flax_conditioner(self, x_0, mask, g, train):
+        h = WNConv1d(self.hidden_channels, 1, name="start")(x_0) * mask
+        h = WN(self.hidden_channels, self.kernel_size, self.dilation_rate,
+               self.n_layers, self.p_dropout, self.gin_channels, name="wn")(
+                   h, mask, g, train=train)
+        # zero-init end conv: coupling starts as identity (submodules.py:365-370)
+        return nn.Conv(self.in_channels, (1,), kernel_init=nn.initializers.zeros,
+                       bias_init=nn.initializers.zeros, name="end")(h)
+
+    def _fused_conditioner(self, x_0, mask, train):
+        """One Pallas kernel for start + WN + end (ops/pallas/wn_coupling.py).
+
+        Identical param tree to the flax path (checkpoints interchangeable);
+        identical math at valid positions; dropout uses the hardware PRNG
+        (same Bernoulli law, different realization than threefry).
+        """
+        from speech_masters_thesis_tpu.ops.pallas.wn_coupling import (
+            WNSpec, apply_fused_wn_coupling)
+
+        B, T, _ = x_0.shape
+        ks, bs_ = WNConv1d(self.hidden_channels, 1, name="start")(
+            in_features=x_0.shape[-1], return_params=True)
+        ws, bs = ks[0], bs_[None]
+        wins, bins, wrss, brss = _WNParams(
+            self.hidden_channels, self.kernel_size, self.n_layers, name="wn")()
+        wend, bend = _EndConvParams(self.in_channels, name="end")(self.hidden_channels)
+
+        p = self.p_dropout if train else 0.0
+        if p > 0.0:
+            seed_bits = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            seed_f32 = jax.lax.bitcast_convert_type(seed_bits, jnp.float32)
+        else:
+            seed_f32 = jnp.float32(0.0)
+
+        if isinstance(mask, (int, float)):
+            lens = jnp.full((B,), T, jnp.int32)
+        else:
+            lens = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+
+        spec = WNSpec(
+            half=x_0.shape[-1], hidden=self.hidden_channels,
+            out_channels=self.in_channels, kernel_size=self.kernel_size,
+            dilation_rate=self.dilation_rate, n_layers=self.n_layers,
+            p_drop=float(p), interpret=jax.default_backend() != "tpu",
+        )
+        return apply_fused_wn_coupling(spec, seed_f32, lens, x_0, ws, bs,
+                                       tuple(wins), tuple(bins),
+                                       tuple(wrss), tuple(brss), wend, bend)

@@ -69,6 +69,7 @@ class GlowTTS(TokenToSpectrogramModel):
             n_sqz=cfg.decoder.n_sqz,
             sigmoid_scale=cfg.decoder.sigmoid_scale,
             gin_channels=cfg.gin_channels,
+            fused=cfg.get("fused_blocks", False),
         )
 
     @staticmethod

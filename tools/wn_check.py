@@ -1,0 +1,109 @@
+"""Validates the fused Pallas CouplingBlock conditioner ON HARDWARE.
+
+Checks (Glow-TTS scale: in=160, hidden=192, k=5, 4 layers — the shipped
+decoder config):
+  1. forward parity fused vs flax at valid positions (eval mode)
+  2. gradient parity for dx and every weight grad (dropout off)
+  3. train-mode dropout: finite loss/grads, per-key determinism
+  4. optional: fused vs unfused glow train-step timing via
+     `python -m benchmarks.run_benchmarks --only glow_train` with
+     GLOW_FUSED=0/1 (see BASELINE.md)
+
+Usage: python -m tools.wn_check
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speech_masters_thesis_tpu.models.glow_tts.flows import CouplingBlock
+
+    C, H, L, k = 160, 192, 4, 5
+    B, T = 4, 384
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, T, C)).astype(np.float32))
+    lens = np.array([T, T - 70, T // 2, T - 1])
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None])
+                       .astype(np.float32)[..., None])
+
+    kw = dict(in_channels=C, hidden_channels=H, kernel_size=k,
+              dilation_rate=1, n_layers=L, p_dropout=0.05)
+    ref = CouplingBlock(fused=False, **kw)
+    fus = CouplingBlock(fused=True, **kw)
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, x, mask, train=False)
+    # randomize the zero-init end conv so parity exercises the conditioner
+    params = jax.tree_util.tree_map(lambda a: a, variables["params"])
+    params["end"]["kernel"] = jnp.asarray(
+        rng.normal(0, 0.2, params["end"]["kernel"].shape).astype(np.float32))
+    params["end"]["bias"] = jnp.asarray(
+        rng.normal(0, 0.1, params["end"]["bias"].shape).astype(np.float32))
+    variables = {"params": params}
+
+    # 1. forward parity (eval). The flax path's convs run at the TPU default
+    # (bf16-class) matmul precision while the kernel accumulates fp32, so
+    # compare against a HIGHEST-precision flax run: the kernel must be within
+    # fp32 tolerance of that, and closer to it than the default-precision run.
+    with jax.default_matmul_precision("highest"):
+        y_hi, ld_hi = jax.jit(lambda v, xx: ref.apply(v, xx, mask, train=False))(variables, x)
+    y_ref, ld_ref = jax.jit(lambda v, xx: ref.apply(v, xx, mask, train=False))(variables, x)
+    y_fus, ld_fus = jax.jit(lambda v, xx: fus.apply(v, xx, mask, train=False))(variables, x)
+
+    def rel(a, b):
+        return float(jnp.max(jnp.abs((a - b) * mask)) /
+                     (jnp.max(jnp.abs(a * mask)) + 1e-9))
+
+    err_hi = rel(y_hi, y_fus)
+    err_def = rel(y_hi, y_ref)
+    ld_err = float(jnp.max(jnp.abs(ld_hi - ld_fus)) / (jnp.max(jnp.abs(ld_hi)) + 1e-9))
+    print(f"forward rel err vs fp32-HIGHEST flax: fused={err_hi:.2e} "
+          f"(default-precision flax={err_def:.2e}); logdet rel err: {ld_err:.2e}")
+    assert err_hi < 5e-5, err_hi
+    assert err_hi < err_def, (err_hi, err_def)
+    assert ld_err < 5e-5, ld_err
+
+    # 2. gradient parity (dropout off)
+    def loss(block):
+        def f(v, xx):
+            y, ld = block.apply(v, xx, mask, train=False)
+            return jnp.sum((y * mask) ** 2) + jnp.sum(ld)
+        return jax.jit(jax.grad(f, argnums=(0, 1)))
+
+    with jax.default_matmul_precision("highest"):
+        g_ref = loss(ref)(variables, x)
+    g_fus = loss(fus)(variables, x)
+    worst = float(jnp.max(jnp.abs(g_ref[1] - g_fus[1])) /
+                  (jnp.max(jnp.abs(g_ref[1])) + 1e-9))
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(g_ref[0])[0],
+                               jax.tree_util.tree_flatten_with_path(g_fus[0])[0]):
+        e = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        if e > 1e-4:
+            print("  grad mismatch", jax.tree_util.keystr(pa), e)
+        worst = max(worst, e)
+    print(f"worst grad rel err: {worst:.2e}")
+    assert worst < 1e-3, worst
+
+    # 3. dropout: finite, deterministic per key, varies across keys
+    def train_loss(v, xx, key):
+        y, ld = fus.apply(v, xx, mask, train=True, rngs={"dropout": key})
+        return jnp.sum((y * mask) ** 2) + jnp.sum(ld)
+
+    val, grads = jax.jit(jax.value_and_grad(train_loss))(variables, x, jax.random.PRNGKey(7))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads))))
+    print(f"train-mode loss={float(val):.4f} finite={np.isfinite(float(val))} gnorm={gnorm:.3f}")
+    assert np.isfinite(float(val)) and np.isfinite(gnorm)
+    v1b = float(jax.jit(train_loss)(variables, x, jax.random.PRNGKey(7)))
+    v2 = float(jax.jit(train_loss)(variables, x, jax.random.PRNGKey(8)))
+    print(f"dropout determinism: same-key delta={abs(float(val)-v1b):.2e}, "
+          f"diff-key delta={abs(float(val)-v2):.2e}")
+    assert abs(float(val) - v1b) < 1e-2 * max(1.0, abs(float(val)))
+    assert abs(float(val) - v2) > 0.0
+    print("WN COUPLING CHECKS OK")
+
+
+if __name__ == "__main__":
+    main()
