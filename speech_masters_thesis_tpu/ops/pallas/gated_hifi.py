@@ -406,7 +406,7 @@ def _block_flops(spec: GatedHiFiSpec, B: int, T: int, bwd: bool) -> pl.CostEstim
     pallas kernels are opaque to XLA's own FLOP counting, so without this the
     benchmark reports would silently undercount the fused step's work."""
     W, H = spec.n_in, spec.hidden
-    per_frame = 2 * W * 4 * H                      # branch expand
+    per_frame = 2 * W * len(spec.kernels) * H      # branch expand
     per_frame += sum(2 * k * H * H for k in spec.kernels)   # dilated convs
     per_frame += len(spec.kernels) * 2 * H * H     # branch 1x1s
     per_frame += 2 * W * W                         # gate 1x1
@@ -477,8 +477,8 @@ def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
     f32 = jnp.float32
     out_shape = (
         jax.ShapeDtypeStruct((B, T, W), xm.dtype),                       # dx
-        jax.ShapeDtypeStruct((W, 4 * H), f32),                           # dWall
-        jax.ShapeDtypeStruct((1, 4 * H), f32),                           # dball
+        jax.ShapeDtypeStruct((W, depth * H), f32),                       # dWall
+        jax.ShapeDtypeStruct((1, depth * H), f32),                       # dball
         *[jax.ShapeDtypeStruct((k, H, H), f32) for k in spec.kernels],   # dK_d
         *[jax.ShapeDtypeStruct((1, H), f32) for _ in range(depth)],      # db_d
         *[jax.ShapeDtypeStruct((H, H), f32) for _ in range(depth)],      # dW1_d
@@ -488,8 +488,8 @@ def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
     )
     out_specs = (
         pl.BlockSpec((1, tile, W), lambda b, i, *_: (b, i, 0), memory_space=pltpu.VMEM),
-        acc((W, 4 * H)),
-        acc((1, 4 * H)),
+        acc((W, depth * H)),
+        acc((1, depth * H)),
         *[acc((k, H, H)) for k in spec.kernels],
         *[acc((1, H)) for _ in range(depth)],
         *[acc((H, H)) for _ in range(depth)],

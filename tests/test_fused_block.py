@@ -52,10 +52,13 @@ def test_param_tree_identical():
     assert jax.tree.map(lambda a: a.shape, v_ref) == jax.tree.map(lambda a: a.shape, v_fus)
 
 
-@pytest.mark.parametrize("zero_out", [False, True])
-def test_gradient_parity(zero_out):
-    """dx and every weight grad match the flax path (dropout off)."""
-    ref, fus = _pair(W=16, zero_out=zero_out)
+@pytest.mark.parametrize("zero_out,depth", [(False, 4), (True, 4), (False, 3)])
+def test_gradient_parity(zero_out, depth):
+    """dx and every weight grad match the flax path (dropout off).
+
+    depth=3 covers the VQ-TTS codec config (regression: the backward's
+    branch-concat width was once hardcoded to 4 branches)."""
+    ref, fus = _pair(W=16, zero_out=zero_out, depth=depth)
     x, mask = _mk(T=600)
     variables = ref.init({"params": jax.random.PRNGKey(1)}, x, mask, train=False)
 
