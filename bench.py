@@ -52,6 +52,12 @@ def main():
     from speech_masters_thesis_tpu.utils.config import Config, load_config
     from speech_masters_thesis_tpu.utils import timing
 
+    # TPU-friendly PRNG for dropout/jitter bits (threefry bit-generation is
+    # pure VPU overhead — measured ~46% of the LM step); BENCH_PRNG=threefry
+    # opts back into the reference-comparable stream
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     repo = os.path.dirname(os.path.abspath(__file__))
     config = load_config(os.path.join(repo, "configs", "models", "vqvae.yaml"))
     if os.environ.get("BENCH_REMAT", "0") == "1":

@@ -4,9 +4,16 @@ Measures the other BASELINE.md metrics on the available device:
   * LM sampling throughput (tokens/sec, KV-cached decode) at reference scale
     (12L / d512 / 16h / ff2048, vocab 512) — the reference's decode loop
     re-forwards the whole prefix per token (transformer_lm.py:143-151)
+  * LM training step throughput at reference scale (LM_BATCH overrides)
   * Glow-TTS mel-synthesis RTF at reference scale (12 flow blocks)
-  * Glow-TTS training step throughput (on-device MAS)
+  * Glow-TTS training step throughput (on-device MAS; GLOW_FUSED=0 for the
+    non-Pallas conditioner)
+  * VQ-TTS training step throughput (full novel model; VQTTS_FUSED=0 A/B)
   * MAS: lax.scan vs fused Pallas kernel
+
+Training benches default to the TPU-friendly 'rbg' PRNG for dropout bits
+(BENCH_PRNG=threefry opts out; threefry bit-generation measured ~46% of the
+LM step).
 
 All timing uses forced host reads (utils/timing.py) — jax.block_until_ready
 does not block on this image's axon tunnel platform and inflated round-1
@@ -16,7 +23,8 @@ Writes (merges into) benchmarks/results.json and prints a summary line per
 benchmark. ``--only X`` re-runs one benchmark without clobbering the others'
 stored results.
 
-Usage: python -m benchmarks.run_benchmarks [--quick] [--only lm|glow|glow_train|mas]
+Usage: python -m benchmarks.run_benchmarks [--quick]
+       [--only lm|glow|glow_train|mas|vqtts_train|lm_train]
 """
 
 from __future__ import annotations
@@ -234,6 +242,80 @@ def bench_mas(quick: bool = False) -> dict:
     return result
 
 
+def bench_lm_train(quick: bool = False) -> dict:
+    """TransformerLM train-step throughput at reference scale (12L/d512/16h,
+    vocab 512, batch 8 x 257 tokens = BOS + one 256-code segment — the
+    reference's train_transformer_lm.sh configuration). The frozen VQ-VAE
+    decoder graft is omitted: it does not participate in supervised_step
+    (only in sampling/artifacts), so the step cost is identical."""
+    import jax
+
+    from speech_masters_thesis_tpu.models.ema import default_mu
+    from speech_masters_thesis_tpu.parallel.mesh import (
+        make_data_mesh, place_replicated, shard_batch)
+    from speech_masters_thesis_tpu.train.harness import get_model, init_model_variables
+    from speech_masters_thesis_tpu.train.loop import make_train_step
+    from speech_masters_thesis_tpu.train.optim import build_optimizer
+    from speech_masters_thesis_tpu.train.state import TrainState
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    batch, tokens = (2, 64) if quick else (8, 257)
+    batch = int(os.environ.get("LM_BATCH", batch))  # reference trains batch 8
+    config = Config({
+        "model": {
+            "_import_": "models.transformer_lm.transformer_lm.TransformerLM",
+            "vocab_size": 512, "embed_dim": 512, "max_len": 5000,
+            "num_layers": 12, "d_model": 512, "nhead": 16,
+            "dim_feedforward": 2048, "dropout": 0.1, "activation": "relu",
+            "layer_norm_eps": 1e-5, "norm_first": False, "loss_type": "ce",
+        },
+        "dataset": {"_import_": "datasets.vqlatent.VQLatent", "sample_rate": 22050,
+                    "n_fft": 1024, "hop_length": 256, "win_length": 1024,
+                    "n_mels": 80, "segment_length": 256,
+                    "use_token": True, "use_spect": False, "use_audio": False},
+        "optimizer": {"name": "adam", "lr": 0.0002, "betas": [0.9, 0.98],
+                      "weight_decay": 0, "eps": 1e-9},
+        "scheduler": {"name": "linear", "warmup_steps": 1000},
+        "train": {"log_dir": "/tmp/bench_lm", "seed": 0, "batch_size": batch,
+                  "ema": False, "grad_clip_norm": None, "fp16": False, "bf16": True,
+                  "num_workers": 0, "n_devices": -1, "total_epochs": 1,
+                  "load_ckpt": None, "ckpt_every_n_steps": 10 ** 9,
+                  "log_every_n_steps": 10 ** 9, "eval_every_n_epochs": 1,
+                  "run_sanity_val_epoch": False, "max_steps": None},
+    })
+    mesh = make_data_mesh()
+    model = get_model(config)
+    variables = init_model_variables(model, config, jax.random.PRNGKey(0))
+    tx, _ = build_optimizer(config, 1.0)
+    state = place_replicated(mesh, TrainState.create(variables, tx, use_ema=False))
+    step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
+                           mesh=mesh, bf16=True)
+
+    rng = np.random.RandomState(0)
+    batch_data = shard_batch(mesh, {
+        "token": rng.randint(2, 514, (batch, tokens)).astype(np.int32),
+        "token_len": np.full((batch,), tokens, np.int32),
+        "audio": None, "audio_len": None, "speaker": None,
+    })
+    key = jax.random.PRNGKey(0)
+    flops = timing.compiled_flops(step, state, batch_data, key)
+
+    def run_one(carry):
+        new_state, sc = step(carry, batch_data, key)
+        return new_state, sc["loss"]
+
+    sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=20)
+    report = timing.rate_report(per_step_units=batch * tokens,
+                                sec_per_step=sec_per_step,
+                                flops_per_step=flops, bf16=True)
+    return {
+        "metric": "lm_train_tokens_per_sec",
+        **report,
+        "batch": batch, "tokens": tokens,
+        "note": "12L/d512 reference scale; audio-seconds equivalent = tokens * 128 / 22050",
+    }
+
+
 def bench_vqtts_train(quick: bool = False) -> dict:
     """VQ-TTS (the thesis's novel model) train-step throughput.
 
@@ -310,11 +392,18 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--only", type=str, default=None,
-                        choices=[None, "lm", "glow", "glow_train", "mas", "vqtts_train"])
+                        choices=[None, "lm", "glow", "glow_train", "mas",
+                                 "vqtts_train", "lm_train"])
     args = parser.parse_args()
 
     from speech_masters_thesis_tpu.parallel.mesh import enable_compilation_cache
     enable_compilation_cache()
+
+    # TPU-friendly PRNG for dropout bits (threefry bit-generation measured
+    # ~46% of the LM train step); BENCH_PRNG=threefry opts out
+    import jax
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     results = {}
     if args.only in (None, "lm"):
@@ -332,6 +421,9 @@ def main():
     if args.only in (None, "vqtts_train"):
         results["vqtts_train"] = bench_vqtts_train(args.quick)
         print(json.dumps(results["vqtts_train"]))
+    if args.only in (None, "lm_train"):
+        results["lm_train"] = bench_lm_train(args.quick)
+        print(json.dumps(results["lm_train"]))
 
     # Merge into the stored results so --only runs don't clobber the rest
     # (round-1 VERDICT weak #5).
