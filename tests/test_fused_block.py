@@ -24,11 +24,47 @@ def _mk(B=2, T=700, W=16, seed=0):
     return jnp.asarray(x), jnp.asarray(mask)
 
 
-def _pair(W, zero_out, depth=4):
+def _pair(W, zero_out, depth=4, **over):
     kw = dict(n_in=W, n_depth=depth, dilation_growth_rate=3, dilation_cycle=None,
               kernel_size_growth_rate=2, kernel_size_cycle=None,
               zero_out=zero_out, res_scale=True)
+    kw.update(over)
     return GatedHiFiBlock(fused=False, **kw), GatedHiFiBlock(fused=True, **kw)
+
+
+@pytest.mark.parametrize("depth,dil_cycle,k_cycle,T", [
+    (2, None, None, 130),     # depth below the shipped 4
+    (5, 3, 2, 300),           # depth above, with dilation/kernel cycles
+    (3, 2, None, 384),        # T exactly one fwd tile (if tile=384)
+])
+def test_shape_sweep_fwd_and_grad(depth, dil_cycle, k_cycle, T):
+    """Kernel must be correct for arbitrary depth/cycle/T combinations —
+    regression net for shape assumptions (a 4-branch width was once
+    hardcoded in the backward)."""
+    ref, fus = _pair(W=16, zero_out=False, depth=depth,
+                     dilation_cycle=dil_cycle, kernel_size_cycle=k_cycle)
+    x, mask = _mk(T=T)
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, x, mask, train=False)
+    y_ref, _ = ref.apply(variables, x, mask, train=False)
+    y_fus, _ = fus.apply(variables, x, mask, train=False)
+    np.testing.assert_allclose(np.asarray(y_ref * mask), np.asarray(y_fus * mask),
+                               rtol=2e-5, atol=2e-6)
+
+    def f(block):
+        def loss(v, xx):
+            y, _ = block.apply(v, xx, mask, train=False)
+            return jnp.sum((y * mask) ** 2)
+        return loss
+
+    g_ref = jax.grad(f(ref))(variables, x)
+    g_fus = jax.grad(f(fus))(variables, x)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_fus)[0]):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=2e-4, atol=1e-6 * max(1.0, np.abs(a).max()),
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
 
 
 @pytest.mark.parametrize("T", [700, 100, 512])

@@ -116,6 +116,39 @@ def test_reverse_roundtrip():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_layers,k,dil,T", [
+    (1, 3, 1, 40),      # single layer, small kernel
+    (5, 5, 2, 200),     # deeper than shipped, dilated
+    (2, 7, 1, 128),     # wide kernel
+])
+def test_shape_sweep_fwd_and_grad(n_layers, k, dil, T):
+    """Kernel correctness across layer count / kernel / dilation / T."""
+    ref, fus = _pair(n_layers=n_layers, k=k, dil=dil)
+    x, mask = _mk(T=T)
+    variables = _randomize_end(
+        ref.init({"params": jax.random.PRNGKey(9)}, x, mask, train=False))
+    y_ref, _ = ref.apply(variables, x, mask, train=False)
+    y_fus, _ = fus.apply(variables, x, mask, train=False)
+    np.testing.assert_allclose(np.asarray(y_ref * mask), np.asarray(y_fus * mask),
+                               rtol=2e-5, atol=2e-6)
+
+    def f(block):
+        def loss(v, xx):
+            y, _ = block.apply(v, xx, mask, train=False)
+            return jnp.sum((y * mask) ** 2)
+        return loss
+
+    g_ref = jax.grad(f(ref))(variables, x)
+    g_fus = jax.grad(f(fus))(variables, x)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_fus)[0]):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=2e-4, atol=1e-6 * max(1.0, np.abs(a).max()),
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
+
+
 def test_fallback_above_max_t():
     """Sequences longer than fused_max_t use the flax path (same results)."""
     kw = dict(in_channels=16, hidden_channels=24, kernel_size=5,
