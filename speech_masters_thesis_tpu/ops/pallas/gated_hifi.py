@@ -131,13 +131,32 @@ def _dropout(x, spec: GatedHiFiSpec, seed, b, site, chunk0):
     return jnp.concatenate(pieces, axis=0)
 
 
+import os as _os
+
+# im2col taps: concatenate the k shifted input windows along the channel
+# axis and run ONE [rows, k*H] x [k*H, H] matmul instead of k separate
+# [rows, H] x [H, H] matmuls. REJECTED on this Mosaic version: lane-dim
+# concatenation of row-shifted slices fails to compile ("result/input
+# offset mismatch on non-concat dimension") because dilated shifts are not
+# sublane(8)-aligned. Kept behind GH_IM2COL=1 for future toolchains.
+_IM2COL = _os.environ.get("GH_IM2COL", "0") == "1"
+
+
 def _dconv(a, kernel, bias, k: int, dil: int, off: int, out_len: int, dot_dtype):
     """Dilated conv: a [rows, H] -> c [out_len, H] at positions off..off+out_len.
 
     SAME-padding semantics are the caller's job (a must be zero outside the
-    true sequence). All slices are static; each tap is one MXU matmul.
+    true sequence). All slices are static.
     """
     half = (k - 1) // 2
+    if _IM2COL and k > 1:
+        sls = [a[off + (j - half) * dil:off + (j - half) * dil + out_len]
+               for j in range(k)]
+        acat = jnp.concatenate(sls, axis=1)                  # [out_len, k*H]
+        kcat = kernel.reshape(k * kernel.shape[1], kernel.shape[2])
+        return (jnp.dot(acat.astype(dot_dtype), kcat.astype(dot_dtype),
+                        preferred_element_type=jnp.float32)
+                + bias.astype(jnp.float32))
     c = jnp.broadcast_to(bias.astype(jnp.float32), (out_len, bias.shape[-1]))
     for j in range(k):
         start = off + (j - half) * dil
@@ -150,6 +169,14 @@ def _dconv(a, kernel, bias, k: int, dil: int, off: int, out_len: int, dot_dtype)
 def _dconv_t(dc, kernel, k: int, dil: int, off: int, out_len: int, dot_dtype):
     """Transpose of _dconv: dc [rows, H] -> da [out_len, H] (grad w.r.t. a)."""
     half = (k - 1) // 2
+    if _IM2COL and k > 1:
+        sls = [dc[off - (j - half) * dil:off - (j - half) * dil + out_len]
+               for j in range(k)]
+        dcat = jnp.concatenate(sls, axis=1)                  # [out_len, k*H]
+        # row block j multiplies kernel[j].T
+        kcat = kernel.transpose(0, 2, 1).reshape(k * kernel.shape[2], kernel.shape[1])
+        return jnp.dot(dcat.astype(dot_dtype), kcat.astype(dot_dtype),
+                       preferred_element_type=jnp.float32)
     da = jnp.zeros((out_len, kernel.shape[-1]), jnp.float32)
     for j in range(k):
         start = off - (j - half) * dil
@@ -344,24 +371,33 @@ def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
         k, dil = spec.kernels[d], spec.dilations[d]
         half = (k - 1) // 2
         dc_c = dc[ctr]                                      # [Tt, H]
-        dk_c = []
-        for j in range(k):
-            start = 2 * halo + (j - half) * dil
-            dk_c.append(jnp.dot(a[start:start + Tt].astype(dot_dtype).T,
-                                dc_c.astype(dot_dtype),
-                                preferred_element_type=jnp.float32))
+        if _IM2COL and k > 1:
+            # one [k*H, Tt] x [Tt, H] matmul for all taps' weight grads
+            acat = jnp.concatenate(
+                [a[2 * halo + (j - half) * dil:2 * halo + (j - half) * dil + Tt]
+                 for j in range(k)], axis=1)                # [Tt, k*H]
+            dk_all = jnp.dot(acat.astype(dot_dtype).T, dc_c.astype(dot_dtype),
+                             preferred_element_type=jnp.float32).reshape(k, H, H)
+        else:
+            dk_c = []
+            for j in range(k):
+                start = 2 * halo + (j - half) * dil
+                dk_c.append(jnp.dot(a[start:start + Tt].astype(dot_dtype).T,
+                                    dc_c.astype(dot_dtype),
+                                    preferred_element_type=jnp.float32))
+            dk_all = jnp.stack(dk_c, axis=0)
         db_c = jnp.sum(dc_c, axis=0, keepdims=True)
 
         @pl.when(first)
-        def _(d=d, dk_c=dk_c, db_c=db_c, dw1_c=dw1_c, db1_c=db1_c):
-            dks[d][...] = jnp.stack(dk_c, axis=0)
+        def _(d=d, dk_all=dk_all, db_c=db_c, dw1_c=dw1_c, db1_c=db1_c):
+            dks[d][...] = dk_all
             dbs[d][...] = db_c
             dw1s[d][...] = dw1_c
             db1s[d][...] = db1_c
 
         @pl.when(jnp.logical_not(first))
-        def _(d=d, dk_c=dk_c, db_c=db_c, dw1_c=dw1_c, db1_c=db1_c):
-            dks[d][...] = dks[d][...] + jnp.stack(dk_c, axis=0)
+        def _(d=d, dk_all=dk_all, db_c=db_c, dw1_c=dw1_c, db1_c=db1_c):
+            dks[d][...] = dks[d][...] + dk_all
             dbs[d][...] = dbs[d][...] + db_c
             dw1s[d][...] = dw1s[d][...] + dw1_c
             db1s[d][...] = db1s[d][...] + db1_c
