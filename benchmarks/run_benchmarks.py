@@ -136,6 +136,13 @@ def bench_glow_train(quick: bool = False) -> dict:
     """Glow-TTS training step throughput at reference scale (mel-frames/s)."""
     import jax
 
+    # TPU-friendly rbg PRNG for dropout bits (threefry bit-generation measured
+    # ~46% of the LM train step; sampling's per-token fold_in pattern is
+    # FASTER with threefry, so only the train benches switch).
+    # BENCH_PRNG=threefry opts out.
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     from speech_masters_thesis_tpu.models.ema import default_mu
     from speech_masters_thesis_tpu.parallel.mesh import make_data_mesh, place_replicated, shard_batch
     from speech_masters_thesis_tpu.train.harness import get_model, init_model_variables
@@ -250,6 +257,13 @@ def bench_lm_train(quick: bool = False) -> dict:
     (only in sampling/artifacts), so the step cost is identical."""
     import jax
 
+    # TPU-friendly rbg PRNG for dropout bits (threefry bit-generation measured
+    # ~46% of the LM train step; sampling's per-token fold_in pattern is
+    # FASTER with threefry, so only the train benches switch).
+    # BENCH_PRNG=threefry opts out.
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     from speech_masters_thesis_tpu.models.ema import default_mu
     from speech_masters_thesis_tpu.parallel.mesh import (
         make_data_mesh, place_replicated, shard_batch)
@@ -327,6 +341,13 @@ def bench_vqtts_train(quick: bool = False) -> dict:
     """
     import jax
 
+    # TPU-friendly rbg PRNG for dropout bits (threefry bit-generation measured
+    # ~46% of the LM train step; sampling's per-token fold_in pattern is
+    # FASTER with threefry, so only the train benches switch).
+    # BENCH_PRNG=threefry opts out.
+    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     from speech_masters_thesis_tpu.models.ema import default_mu
     from speech_masters_thesis_tpu.parallel.mesh import (
         make_data_mesh, place_replicated, shard_batch)
@@ -398,12 +419,6 @@ def main():
 
     from speech_masters_thesis_tpu.parallel.mesh import enable_compilation_cache
     enable_compilation_cache()
-
-    # TPU-friendly PRNG for dropout bits (threefry bit-generation measured
-    # ~46% of the LM train step); BENCH_PRNG=threefry opts out
-    import jax
-    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
-        jax.config.update("jax_default_prng_impl", "rbg")
 
     results = {}
     if args.only in (None, "lm"):
