@@ -275,9 +275,16 @@ def bench_lm_train(quick: bool = False) -> dict:
 
     batch, tokens = (2, 64) if quick else (8, 257)
     batch = int(os.environ.get("LM_BATCH", batch))  # reference trains batch 8
+    tokens = int(os.environ.get("LM_TOKENS", tokens))
     config = Config({
         "model": {
             "_import_": "models.transformer_lm.transformer_lm.TransformerLM",
+            # Pallas flash attention — default OFF: at the reference scale
+            # (T=257, head_dim 32) it measured 2.8x SLOWER than XLA's
+            # materialized-logits path (36.9 vs 13.2 ms; the 32-lane
+            # contraction starves the MXU). It wins on MEMORY at long T
+            # (T=2048 runs where the unfused path OOMs). LM_FLASH=1 opts in.
+            "fused_attention": os.environ.get("LM_FLASH", "0") == "1",
             "vocab_size": 512, "embed_dim": 512, "max_len": 5000,
             "num_layers": 12, "d_model": 512, "nhead": 16,
             "dim_feedforward": 2048, "dropout": 0.1, "activation": "relu",

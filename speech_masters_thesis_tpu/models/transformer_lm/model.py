@@ -52,11 +52,20 @@ def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """torch nn.MultiheadAttention-parity self-attention (packed qkv proj)."""
+    """torch nn.MultiheadAttention-parity self-attention (packed qkv proj).
+
+    ``fused=True`` routes the causal softmax-attention through the stock
+    Pallas TPU flash-attention kernel instead of materializing the
+    [B, H, T, T] logits in HBM (which the trace showed at ~41% of the LM
+    train step). Documented deviation: the fused path does NOT apply
+    dropout to the attention probabilities (flash kernels keep the
+    probability matrix implicit); all other dropouts are unchanged.
+    """
 
     d_model: int
     n_heads: int
     dropout: float = 0.0
+    fused: bool = False
 
     def setup(self):
         # packed in_proj like torch: one (d, 3d) kernel
@@ -68,13 +77,19 @@ class MultiHeadSelfAttention(nn.Module):
         b, t, _ = x.shape
         return x.reshape(b, t, self.n_heads, self.d_model // self.n_heads)
 
-    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        """x: [B, T, C]; attn_bias: broadcastable to [B, H, T, T] additive logits."""
+    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray, train: bool = True,
+                 key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: [B, T, C]; attn_bias: broadcastable to [B, H, T, T] additive
+        logits (causal + key-padding). key_mask: [B, T] 1=valid — only
+        needed by the fused path, which reconstructs the same masking from
+        causal=True + segment ids."""
         qkv = self.in_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = self._split_heads(q)
         k = self._split_heads(k)
         v = self._split_heads(v)
+        if self.fused and key_mask is not None and jax.default_backend() == "tpu":
+            return self._attend_flash(q, k, v, key_mask)
         return self._attend(q, k, v, attn_bias, train)
 
     def _attend(self, q, k, v, attn_bias, train):
@@ -85,6 +100,31 @@ class MultiHeadSelfAttention(nn.Module):
         probs = self.attn_dropout(probs, deterministic=not train)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         b, t = out.shape[0], out.shape[1]
+        return self.out_proj(out.reshape(b, t, self.d_model))
+
+    def _attend_flash(self, q, k, v, key_mask):
+        """Pallas flash attention: causal + segment-id padding mask.
+
+        Equivalent to `_attend` at valid positions: invalid keys never
+        contribute to valid queries (different segment), and invalid query
+        rows produce harmless garbage that the loss mask / downstream
+        masking discards (exactly like the -1e9-everywhere rows of the
+        unfused path).
+        """
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+
+        b, t, h, d = q.shape
+        tp = -(-t // 128) * 128
+        pad = ((0, 0), (0, tp - t), (0, 0), (0, 0))
+        # [B, T, H, D] -> [B, H, Tp, D]
+        qt = jnp.pad(q, pad).transpose(0, 2, 1, 3)
+        kt = jnp.pad(k, pad).transpose(0, 2, 1, 3)
+        vt = jnp.pad(v, pad).transpose(0, 2, 1, 3)
+        seg = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, tp - t)))
+        out = flash_attention(qt, kt, vt, segment_ids=SegmentIds(seg, seg),
+                              causal=True, sm_scale=1.0 / math.sqrt(d))
+        out = out.transpose(0, 2, 1, 3)[:, :t]
         return self.out_proj(out.reshape(b, t, self.d_model))
 
     def decode_step(self, x_t: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
@@ -118,9 +158,11 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     layer_norm_eps: float = 1e-5
+    fused_attention: bool = False
 
     def setup(self):
-        self.self_attn = MultiHeadSelfAttention(self.d_model, self.n_heads, self.dropout)
+        self.self_attn = MultiHeadSelfAttention(self.d_model, self.n_heads, self.dropout,
+                                                fused=self.fused_attention)
         self.linear1 = nn.Dense(self.dim_feedforward)
         self.linear2 = nn.Dense(self.d_model)
         self.norm1 = nn.LayerNorm(epsilon=self.layer_norm_eps)
@@ -134,8 +176,9 @@ class TransformerEncoderLayer(nn.Module):
         h = self.drop_ff(h, deterministic=not train)
         return self.linear2(h)
 
-    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        h = self.self_attn(x, attn_bias, train=train)
+    def __call__(self, x: jnp.ndarray, attn_bias: jnp.ndarray, train: bool = True,
+                 key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        h = self.self_attn(x, attn_bias, train=train, key_mask=key_mask)
         x = self.norm1(x + self.drop1(h, deterministic=not train))
         h = self._ff(x, train)
         x = self.norm2(x + self.drop2(h, deterministic=not train))
@@ -176,7 +219,9 @@ class TransformerLM(TokenToWaveformModel):
         self.pos_dropout = nn.Dropout(cfg.dropout)
         self.layers = [
             TransformerEncoderLayer(cfg.d_model, cfg.nhead, cfg.dim_feedforward,
-                                    cfg.dropout, cfg.layer_norm_eps, name=f"layer_{i}")
+                                    cfg.dropout, cfg.layer_norm_eps,
+                                    fused_attention=cfg.get("fused_attention", False),
+                                    name=f"layer_{i}")
             for i in range(cfg.num_layers)
         ]
         self.final_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_norm")
@@ -227,12 +272,13 @@ class TransformerLM(TokenToWaveformModel):
             "speaker": None,
         }
 
-    def _backbone(self, tokens: jnp.ndarray, attn_bias: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def _backbone(self, tokens: jnp.ndarray, attn_bias: jnp.ndarray, train: bool,
+                  key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         x = self.embedding(tokens) * math.sqrt(self.d_model)
         x = x + self.pe[None, :x.shape[1]]
         x = self.pos_dropout(x, deterministic=not train)
         for layer in self.layers:
-            x = layer(x, attn_bias, train=train)
+            x = layer(x, attn_bias, train=train, key_mask=key_mask)
         return self.final_norm(x)
 
     def reconstruct(self, codes: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -251,7 +297,7 @@ class TransformerLM(TokenToWaveformModel):
         causal = jnp.tril(jnp.ones((t, t), jnp.float32))
         bias = jnp.where((causal[None, None] * key_mask[:, None, None, :]) > 0, 0.0, NEG_INF)
 
-        h = self._backbone(x, bias, train)
+        h = self._backbone(x, bias, train, key_mask=key_mask)
         logits = self.classifier(h)  # [B, T, vocab]
 
         targets = x[:, 1:].reshape(-1)
