@@ -164,6 +164,47 @@ def test_fallback_above_max_t():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_fused_shard_map_data_parallel():
+    """With an ambient mesh, the fused conditioner runs per-shard (not
+    replicated): output stays sharded on 'data', grads match the flax path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_masters_thesis_tpu.parallel.mesh import make_data_mesh
+
+    mesh = make_data_mesh()  # publishes the ambient mesh
+    ref, fus = _pair()
+    B, T, C = 8, 96, 16
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.uniform(-1, 1, (B, T, C)).astype(np.float32))
+    mask = jnp.ones((B, T, 1), jnp.float32)
+    variables = _randomize_end(
+        ref.init({"params": jax.random.PRNGKey(7)}, x, mask, train=False))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ms = jax.device_put(mask, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def fy(v, xx, mm):
+        y, _ = fus.apply(v, xx, mm, train=False)
+        return y
+
+    y = fy(variables, xs, ms)
+    assert y.sharding.spec == P("data"), y.sharding  # NOT replicated
+    y_ref, _ = ref.apply(variables, x, mask, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-5, atol=2e-6)
+
+    def loss(block):
+        def f(v, xx, mm):
+            yy, ld = block.apply(v, xx, mm, train=False)
+            return jnp.sum(yy ** 2) + jnp.sum(ld)
+        return f
+
+    g_ref = jax.grad(loss(ref))(variables, x, mask)
+    g_fus = jax.jit(jax.grad(loss(fus)))(variables, xs, ms)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5 * max(1.0, np.abs(a).max()))
+
+
 def test_glow_model_fused_forward_matches():
     """Whole GlowTTS supervised_step: fused_blocks True == False (tiny cfg)."""
     from speech_masters_thesis_tpu.train.harness import get_model, init_model_variables
