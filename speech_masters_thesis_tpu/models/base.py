@@ -64,17 +64,47 @@ class WaveformReconstructionModel(nn.Module):
         return loss_dict, metrics_dict
 
 
+def spect_from_audio(model, batch):
+    """On-device log-mel from raw audio (``dataset.on_device_spect``).
+
+    The reference extracts mel in the dataloader workers (CPU,
+    transforms.py:16-68); this host has ONE core, so for spectrogram models
+    the loader measured 40-57% of wall time blocked on host mel. With this
+    knob the loader ships raw audio (cheap WAV decode) and the SAME
+    MelSpectrogram operator runs inside the jitted train step on the TPU
+    (fp32-HIGHEST, microseconds per batch). Deviation (documented): mel of
+    batch-padded audio sees zeros instead of the per-clip reflect padding at
+    each sequence's right edge, so the last ~n_fft/(2*hop) valid frames of
+    short-in-batch clips differ from the host path; masked losses make this
+    training-irrelevant, and unpadded (bucket-exact) clips are identical.
+    """
+    from speech_masters_thesis_tpu.ops.stft import MelSpectrogram
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    d = Config(model.config).dataset
+    # fresh operator per trace — the lru-cached one would capture its
+    # mel-basis constant inside the first jit trace and leak the tracer
+    mel = MelSpectrogram(d.sample_rate, d.n_fft, d.hop_length, d.win_length,
+                         d.n_mels, 0.0, 8000.0)
+    spect = mel(batch["audio"])
+    spect_len = batch["audio_len"] // d.hop_length
+    return spect, spect_len
+
+
 class TokenToSpectrogramModel(nn.Module):
     """Maps input tokens to a spectrogram."""
 
     TASK = TOKEN_TO_SPECTROGRAM
 
     def supervised_step(self, batch, train: bool = True):
+        spect, spect_len = batch["spect"], batch["spect_len"]
+        if spect is None and batch.get("audio") is not None:
+            spect, spect_len = spect_from_audio(self, batch)
         loss_dict, metrics_dict = self(
-            batch["token"], batch["token_len"], batch["spect"], batch["spect_len"],
+            batch["token"], batch["token_len"], spect, spect_len,
             speaker=batch.get("speaker"), train=train,
         )
-        loss_dict["y"] = batch["spect"]
+        loss_dict["y"] = spect
         return loss_dict, metrics_dict
 
 

@@ -98,8 +98,14 @@ class GlowTTS(TokenToSpectrogramModel):
         """
         import numpy as np
         rng = jax.random.PRNGKey(0)
+        spect, spect_len = batch["spect"], batch["spect_len"]
+        if spect is None and batch.get("audio") is not None:
+            # dataset.on_device_spect: compute the mel here, outside the
+            # model apply, with the same operator the train step uses
+            from speech_masters_thesis_tpu.models.base import spect_from_audio
+            spect, spect_len = spect_from_audio(self, batch)
         _, mutated = self.apply(
-            variables, batch["token"], batch["token_len"], batch["spect"], batch["spect_len"],
+            variables, batch["token"], batch["token_len"], spect, spect_len,
             speaker=batch.get("speaker"), method=self.ddi_forward,
             rngs={"dropout": rng}, mutable=["ddi_stats"],
         )

@@ -44,6 +44,12 @@ def get_model(config):
     model = model_cls(config=config.to_dict())
     for key, value in TASK_FEATURES[model_cls.TASK].items():
         config.dataset[key] = value
+    if config.dataset.get("on_device_spect") and config.dataset.get("use_spect"):
+        # ship raw audio instead of host-extracted mel; the model computes
+        # the spectrogram inside the jitted step (models/base.py:
+        # spect_from_audio — the 1-core host cannot feed mel fast enough)
+        config.dataset["use_spect"] = False
+        config.dataset["use_audio"] = True
     return model
 
 

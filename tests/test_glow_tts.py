@@ -242,3 +242,70 @@ def test_relative_position_skew_tricks():
     # offsets beyond the window are zero-padded
     assert np.allclose(used[:, : centre - window], 0.0)
     assert np.allclose(used[:, centre + window + 1:], 0.0)
+
+
+def test_on_device_spect_matches_host_path():
+    """dataset.on_device_spect: the loader ships raw audio and the model
+    computes mel inside supervised_step — for bucket-exact audio the loss
+    must match the host-extracted-spect path exactly (same operator)."""
+    import numpy as np
+
+    from speech_masters_thesis_tpu.train.harness import get_model, init_model_variables
+    from speech_masters_thesis_tpu.ops.stft import cached_mel, host_mel
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    base = {
+        "model": {
+            "_import_": "models.glow_tts.glow_tts.GlowTTS",
+            "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
+            "encoder": {"n_vocab": 148, "out_channels": None, "hidden_channels": 16,
+                        "filter_channels": 32, "filter_channels_dp": 16,
+                        "kernel_size": 3, "p_dropout": 0.1, "n_layers": 1,
+                        "n_heads": 2, "window_size": 4, "prenet": True,
+                        "mean_only": True},
+            "decoder": {"in_channels": None, "hidden_channels": 16, "kernel_size": 5,
+                        "n_blocks": 2, "n_layers": 2, "n_sqz": 2, "n_split": 4,
+                        "sigmoid_scale": False, "p_dropout": 0.05,
+                        "dilation_rate": 1},
+            "ddi": False,
+        },
+        "dataset": {"_import_": "datasets.ljspeech.LJSpeech", "sample_rate": 22050,
+                    "n_fft": 256, "hop_length": 64, "win_length": 256, "n_mels": 8,
+                    "intersperse_blanks": True, "segment_length": -1,
+                    "use_token": True, "use_spect": True, "use_audio": False},
+        "train": {"log_dir": "/tmp/x", "seed": 0, "batch_size": 2},
+    }
+    cfg_dev = Config({**base, "dataset": {**base["dataset"], "on_device_spect": True}})
+    cfg_host = Config(base)
+
+    model_dev = get_model(cfg_dev)
+    # elision flipped: raw audio in, no host spect
+    assert cfg_dev.dataset.use_audio and not cfg_dev.dataset.use_spect
+    model_host = get_model(cfg_host)
+    assert cfg_host.dataset.use_spect and not cfg_host.dataset.use_audio
+
+    variables = init_model_variables(model_host, cfg_host, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    t_text, t_samples = 10, 2048
+    audio = rng.uniform(-0.5, 0.5, (2, t_samples)).astype(np.float32)
+    mel_op = cached_mel(22050, 256, 64, 256, 8, 0.0, 8000.0)
+    spect = np.stack([host_mel(mel_op, audio[i])[0] for i in range(2)])
+    tokens = rng.randint(1, 140, (2, t_text)).astype(np.int32)
+    common = {"token": jnp.asarray(tokens),
+              "token_len": jnp.asarray([t_text, t_text - 2], jnp.int32),
+              "speaker": None}
+    batch_host = {**common, "spect": jnp.asarray(spect),
+                  "spect_len": jnp.asarray([t_samples // 64] * 2, jnp.int32),
+                  "audio": None, "audio_len": None}
+    batch_dev = {**common, "spect": None, "spect_len": None,
+                 "audio": jnp.asarray(audio),
+                 "audio_len": jnp.asarray([t_samples] * 2, jnp.int32)}
+
+    ld_h, _ = model_host.apply(variables, batch_host, train=False,
+                               method=model_host.supervised_step)
+    ld_d, _ = model_dev.apply(variables, batch_dev, train=False,
+                              method=model_dev.supervised_step)
+    np.testing.assert_allclose(float(ld_h["loss"]), float(ld_d["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_h["y"]), np.asarray(ld_d["y"]),
+                               rtol=1e-5, atol=1e-6)
