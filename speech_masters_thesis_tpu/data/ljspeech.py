@@ -75,6 +75,7 @@ class LJSpeech:
                               d.n_mels, 0.0, 8000.0) if self.use_spect else None
 
         self.parser = None
+        self._token_cache: dict = {}
         if self.use_token:
             from speech_masters_thesis_tpu.text.parser import CMUDictParser
             self.parser = CMUDictParser(d.cmudict_path)
@@ -97,16 +98,22 @@ class LJSpeech:
 
         token = None
         if self.use_token:
-            text = self.transcripts[index].strip()
-            if text[-1] not in (".", "!", "?"):
-                text = text + "."
-            ids = self.parser(text)
-            if self.intersperse_blanks:
-                blank = len(self.parser.symbols)
-                interspersed = [blank] * (len(ids) * 2 + 1)
-                interspersed[1::2] = ids
-                ids = interspersed
-            token = np.asarray(ids, dtype=np.int32)
+            # tokens are deterministic per index; parsing (regex + CMUdict
+            # lookups) is pure-Python work that would otherwise repeat every
+            # epoch on the 1-core host, so cache per index
+            token = self._token_cache.get(index)
+            if token is None:
+                text = self.transcripts[index].strip()
+                if text[-1] not in (".", "!", "?"):
+                    text = text + "."
+                ids = self.parser(text)
+                if self.intersperse_blanks:
+                    blank = len(self.parser.symbols)
+                    interspersed = [blank] * (len(ids) * 2 + 1)
+                    interspersed[1::2] = ids
+                    ids = interspersed
+                token = np.asarray(ids, dtype=np.int32)
+                self._token_cache[index] = token
 
         return {
             "token": token,
