@@ -103,6 +103,20 @@ def main():
 
     flops = timing.compiled_flops(train_step, state, device_batch, step_rng)
 
+    # model-intrinsic FLOPs (no fused-kernel backward recompute): cost
+    # analysis of the SAME step compiled without the Pallas blocks — the
+    # param tree is identical, only the compute schedule differs. Reported
+    # as model_mfu next to executed-FLOP mfu (VERDICT r2 weak #2); the
+    # compile is amortized by the persistent compilation cache.
+    model_flops = None
+    if config.model.fused_blocks:
+        config.model.fused_blocks = False
+        unfused_step = make_train_step(get_model(config), tx,
+                                       default_mu(BATCH, n_chips), use_ema=True,
+                                       mesh=mesh, bf16=bf16)
+        model_flops = timing.compiled_flops(unfused_step, state, device_batch, step_rng)
+        config.model.fused_blocks = True
+
     def run_one(carry):
         new_state, scalars = train_step(carry, device_batch, step_rng)
         return new_state, scalars["loss"]
@@ -112,7 +126,8 @@ def main():
     mel_frames_per_step = BATCH * t_samples / HOP
     report = timing.rate_report(per_step_units=mel_frames_per_step,
                                 sec_per_step=sec_per_step,
-                                flops_per_step=flops, bf16=bf16, n_chips=n_chips)
+                                flops_per_step=flops, bf16=bf16, n_chips=n_chips,
+                                model_flops_per_step=model_flops)
     value = report["value"]
 
     baseline_path = os.path.join(repo, "tools", "baseline_cpu.json")

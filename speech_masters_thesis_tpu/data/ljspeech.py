@@ -24,7 +24,7 @@ import random
 
 import numpy as np
 
-from speech_masters_thesis_tpu.ops.stft import cached_mel, host_mel
+from speech_masters_thesis_tpu.ops.stft import cached_mel, host_mel, mel_band_edges
 from speech_masters_thesis_tpu.utils.audio_io import load_wav
 
 # Truncate audio lengths to a multiple of this so the codec's up/down-sampling
@@ -72,7 +72,7 @@ class LJSpeech:
             raise ValueError(f"LJSpeech not implemented for split {split}")
 
         self.mel = cached_mel(d.sample_rate, d.n_fft, d.hop_length, d.win_length,
-                              d.n_mels, 0.0, 8000.0) if self.use_spect else None
+                              d.n_mels, *mel_band_edges(d)) if self.use_spect else None
 
         self.parser = None
         self._token_cache: dict = {}

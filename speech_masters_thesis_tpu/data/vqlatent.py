@@ -27,7 +27,7 @@ from itertools import groupby
 
 import numpy as np
 
-from speech_masters_thesis_tpu.ops.stft import cached_mel, host_mel
+from speech_masters_thesis_tpu.ops.stft import cached_mel, host_mel, mel_band_edges
 
 PAD = 0      # <pad> token
 BOS = 1      # <bos> token
@@ -61,7 +61,7 @@ class VQLatent:
         self.use_spect = bool(d.use_spect)
         self.use_audio = bool(d.use_audio)
         self.mel = cached_mel(d.sample_rate, d.n_fft, d.hop_length, d.win_length,
-                              d.n_mels, 0.0, 8000.0) if self.use_spect else None
+                              d.n_mels, *mel_band_edges(d)) if self.use_spect else None
 
     def __len__(self) -> int:
         return len(self.pkl_files)

@@ -78,14 +78,14 @@ def spect_from_audio(model, batch):
     short-in-batch clips differ from the host path; masked losses make this
     training-irrelevant, and unpadded (bucket-exact) clips are identical.
     """
-    from speech_masters_thesis_tpu.ops.stft import MelSpectrogram
+    from speech_masters_thesis_tpu.ops.stft import MelSpectrogram, mel_band_edges
     from speech_masters_thesis_tpu.utils.config import Config
 
     d = Config(model.config).dataset
     # fresh operator per trace — the lru-cached one would capture its
     # mel-basis constant inside the first jit trace and leak the tracer
     mel = MelSpectrogram(d.sample_rate, d.n_fft, d.hop_length, d.win_length,
-                         d.n_mels, 0.0, 8000.0)
+                         d.n_mels, *mel_band_edges(d))
     spect = mel(batch["audio"])
     spect_len = batch["audio_len"] // d.hop_length
     return spect, spect_len

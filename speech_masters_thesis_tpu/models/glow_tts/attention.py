@@ -70,6 +70,7 @@ class RelativeSelfAttention(nn.Module):
     p_dropout: float = 0.0
     block_length: Optional[int] = None
     proximal_bias: bool = False
+    proximal_init: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray,
@@ -77,8 +78,31 @@ class RelativeSelfAttention(nn.Module):
         """x (queries), c (keys/values): [B, T, C]; attn_mask: [B, 1, T, T]."""
         k_channels = self.channels // self.n_heads
         xavier = nn.initializers.xavier_uniform()
-        q = nn.Conv(self.channels, (1,), kernel_init=xavier, name="conv_q")(x)
-        k = nn.Conv(self.channels, (1,), kernel_init=xavier, name="conv_k")(c)
+        if self.proximal_init:
+            # reference submodules.py:444-447: conv_k starts as a copy of
+            # conv_q (weights AND bias). compact order guarantees conv_q
+            # initializes first; its initializers cache the drawn values and
+            # conv_k's initializers return the cached copies (init-time only
+            # — the params are independent leaves and diverge in training).
+            cache = {}
+
+            def q_kernel_init(rng, shape, dtype=jnp.float32):
+                cache["kernel"] = xavier(rng, shape, dtype)
+                return cache["kernel"]
+
+            def q_bias_init(rng, shape, dtype=jnp.float32):
+                cache["bias"] = nn.initializers.zeros(rng, shape, dtype)
+                return cache["bias"]
+
+            q = nn.Conv(self.channels, (1,), kernel_init=q_kernel_init,
+                        bias_init=q_bias_init, name="conv_q")(x)
+            k = nn.Conv(self.channels, (1,),
+                        kernel_init=lambda rng, shape, dtype=jnp.float32: cache["kernel"],
+                        bias_init=lambda rng, shape, dtype=jnp.float32: cache["bias"],
+                        name="conv_k")(c)
+        else:
+            q = nn.Conv(self.channels, (1,), kernel_init=xavier, name="conv_q")(x)
+            k = nn.Conv(self.channels, (1,), kernel_init=xavier, name="conv_k")(c)
         v = nn.Conv(self.channels, (1,), kernel_init=xavier, name="conv_v")(c)
 
         b, t_t, _ = q.shape

@@ -88,7 +88,13 @@ class MultiHeadSelfAttention(nn.Module):
         q = self._split_heads(q)
         k = self._split_heads(k)
         v = self._split_heads(v)
-        if self.fused and key_mask is not None and jax.default_backend() == "tpu":
+        use_flash = (self.fused and key_mask is not None
+                     and jax.default_backend() == "tpu"
+                     and not (train and self.dropout > 0))
+        # flash keeps the probability matrix implicit, so attention-prob
+        # dropout cannot apply; fall back to the unfused path whenever it
+        # would (mirrors the p_dropout>0 fallback of the Pallas blocks)
+        if use_flash:
             return self._attend_flash(q, k, v, key_mask)
         return self._attend(q, k, v, attn_bias, train)
 

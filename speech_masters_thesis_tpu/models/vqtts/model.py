@@ -84,6 +84,9 @@ class VQTTS(TokenToWaveformModel):
             zero_out=cfg.zero_out,
             remat=cfg.get("remat", False),
             fused=cfg.get("fused_blocks", False),
+            # one knob for the codec ResLayer dropout (reference hardwires
+            # 0.1, resnet.py:18) — honored by fused and unfused paths alike
+            p_dropout=cfg.get("p_dropout", 0.1),
         )
         self.audio_encoder = Encoder(**codec_common)
         self.audio_decoder = Decoder(reverse_decoder_dilation=cfg.reverse_decoder_dilation,

@@ -110,6 +110,7 @@ class ResNetBlock(nn.Module):
     res_scale: bool = False
     reverse_dilation: bool = False
     fused: bool = False  # fusion only exists for gated_hifi; accepted and ignored
+    p_dropout: float = 0.1  # reference ResLayer rate (resnet.py:18)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
@@ -125,6 +126,7 @@ class ResNetBlock(nn.Module):
                 dilation=self.dilation_growth_rate ** get_mod_cycle(depth, self.dilation_cycle),
                 zero_out=self.zero_out,
                 res_scale=scale,
+                dropout=self.p_dropout,
             )(x * m, train=train)
         return x, m
 
@@ -142,6 +144,7 @@ class HiFiBlock(nn.Module):
     zero_out: bool = True
     res_scale: bool = False
     fused: bool = False  # fusion only exists for gated_hifi; accepted and ignored
+    p_dropout: float = 0.1  # reference ResLayer rate (resnet.py:18)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
@@ -157,6 +160,7 @@ class HiFiBlock(nn.Module):
                     kernel_size=3 + self.kernel_size_growth_rate * get_mod_cycle(depth, self.kernel_size_cycle),
                     zero_out=self.zero_out,
                     res_scale=scale,
+                    dropout=self.p_dropout,
                 )(x * m, train=train)
             )
         return sum(outs) / len(outs), m
@@ -175,6 +179,7 @@ class WaveNetBlock(nn.Module):
     zero_out: bool = True
     res_scale: bool = False
     fused: bool = False  # fusion only exists for gated_hifi; accepted and ignored
+    p_dropout: float = 0.0  # accepted for ctor uniformity; reference WaveNetBlock has no dropout
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
@@ -248,8 +253,8 @@ class GatedHiFiBlock(nn.Module):
     # backward in VMEM — see ops/pallas/gated_hifi.py). Same param tree,
     # same math at valid positions; config knob: model.fused_blocks.
     fused: bool = False
-    # reference ResLayer dropout rate (resnet.py:18); only consulted by the
-    # fused path — the unfused path uses ResLayer's own default
+    # reference ResLayer dropout rate (resnet.py:18); honored by BOTH the
+    # fused kernel and the unfused ResLayer path (one knob, one behavior)
     p_dropout: float = 0.1
 
     @nn.compact
@@ -287,6 +292,7 @@ class GatedHiFiBlock(nn.Module):
                 kernel_size=3 + self.kernel_size_growth_rate * get_mod_cycle(depth, self.kernel_size_cycle),
                 zero_out=self.zero_out,
                 res_scale=scale,
+                dropout=self.p_dropout,
                 name=f"branch_res_{depth}",
             )(z, train=train)
             t, s = jnp.split(z, 2, axis=-1)

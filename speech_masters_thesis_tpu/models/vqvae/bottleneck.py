@@ -245,6 +245,7 @@ class NoBottleneck(nn.Module):
     def __call__(self, xs, masks, update_k: bool = True):
         zero = jnp.zeros(())
         commit_losses = [zero for _ in range(self.levels)]
-        metrics = [dict(entropy=zero, usage=zero, used_curr=zero, fit=zero, dk=zero)
+        metrics = [dict(entropy=zero, usage=zero, used_curr=zero, fit=zero, dk=zero,
+                        prenorm=zero)  # same metric keys as BottleneckBlock
                    for _ in range(self.levels)]
         return xs, xs, commit_losses, metrics

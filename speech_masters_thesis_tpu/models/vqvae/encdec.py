@@ -98,6 +98,7 @@ class EncoderConvBlock(nn.Module):
     zero_out: bool = True
     res_scale: bool = False
     fused: bool = False
+    p_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
@@ -114,7 +115,7 @@ class EncoderConvBlock(nn.Module):
                 kernel_size_growth_rate=self.kernel_size_growth_rate,
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
-                fused=self.fused,
+                fused=self.fused, p_dropout=self.p_dropout,
             )(x, mask, train=train)
         x, mask = MaskedConv1d(self.output_emb_width, 3, 1, 1)(x, mask)
         return x, mask
@@ -139,6 +140,7 @@ class DecoderConvBlock(nn.Module):
     res_scale: bool = False
     reverse_decoder_dilation: bool = False
     fused: bool = False
+    p_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
@@ -155,6 +157,7 @@ class DecoderConvBlock(nn.Module):
                 kernel_size_growth_rate=self.kernel_size_growth_rate,
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
+                p_dropout=self.p_dropout,
             )
             if self.block_type == "base":
                 block_kwargs["reverse_dilation"] = self.reverse_decoder_dilation
@@ -194,6 +197,7 @@ class Encoder(nn.Module):
     remat: bool = False
     # run gated_hifi blocks as fused Pallas kernels (ops/pallas/gated_hifi.py)
     fused: bool = False
+    p_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool = True):
@@ -212,7 +216,7 @@ class Encoder(nn.Module):
                 kernel_size_growth_rate=self.kernel_size_growth_rate,
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
-                fused=self.fused,
+                fused=self.fused, p_dropout=self.p_dropout,
                 name=f"level_{level}",
             )(x, mask, train)
         return x, mask
@@ -242,6 +246,7 @@ class Decoder(nn.Module):
     reverse_decoder_dilation: bool = False
     remat: bool = False
     fused: bool = False
+    p_dropout: float = 0.1
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], masks: Sequence[jnp.ndarray],
@@ -267,7 +272,7 @@ class Decoder(nn.Module):
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
                 reverse_decoder_dilation=self.reverse_decoder_dilation,
-                fused=self.fused,
+                fused=self.fused, p_dropout=self.p_dropout,
                 name=f"level_{level}",
             )(x, mask, train)
             if level != 0 and all_levels:

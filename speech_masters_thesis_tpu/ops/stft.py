@@ -285,6 +285,15 @@ def cached_mel(sample_rate: int, n_fft: int, hop_length: int, win_length: int | 
     return MelSpectrogram(sample_rate, n_fft, hop_length, win_length, n_mels, f_min, f_max)
 
 
+def mel_band_edges(dataset_cfg) -> tuple:
+    """(f_min, f_max) for a dataset config — the ONE place the reference's
+    hardcoded band edges live (reference datasets/ljspeech.py:64-65 pins
+    f_min=0/f_max=8000 in code). A dataset config may override with
+    ``f_min``/``f_max`` keys; every mel construction site (loaders,
+    on-device spect_from_audio, artifact inversion) reads through here."""
+    return (float(dataset_cfg.get("f_min", 0.0)), float(dataset_cfg.get("f_max", 8000.0)))
+
+
 def host_mel(mel_op: MelSpectrogram, audio: np.ndarray) -> np.ndarray:
     """Runs mel extraction pinned to the host CPU backend.
 

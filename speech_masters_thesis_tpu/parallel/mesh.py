@@ -30,7 +30,7 @@ def make_data_mesh(devices=None) -> Mesh:
         # axis through jax.sharding.get_abstract_mesh — without this, XLA
         # cannot partition the opaque kernel and would all-gather + replicate
         jax.sharding.set_mesh(mesh)
-    except Exception:  # pragma: no cover - older jax without set_mesh
+    except (AttributeError, NotImplementedError):  # pragma: no cover - older jax without set_mesh
         pass
     return mesh
 

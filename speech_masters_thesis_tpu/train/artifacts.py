@@ -21,7 +21,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 from PIL import Image  # noqa: E402
 
-from speech_masters_thesis_tpu.ops.stft import STFT, cached_mel, mel_filterbank
+from speech_masters_thesis_tpu.ops.stft import STFT, cached_mel, mel_band_edges, mel_filterbank
 from speech_masters_thesis_tpu.utils.audio_io import save_wav
 
 logger = logging.getLogger(__name__)
@@ -60,7 +60,7 @@ def griffin_lim(magnitude: np.ndarray, stft: STFT, n_iter: int = 32) -> np.ndarr
 def mel_to_audio(log_mel: np.ndarray, config) -> np.ndarray:
     """[frames, n_mels] log-mel -> waveform via pinv-mel + Griffin-Lim."""
     ds = config.dataset
-    fb = mel_filterbank(ds.sample_rate, ds.n_fft, ds.n_mels, 0.0, 8000.0)  # (n_mels, bins)
+    fb = mel_filterbank(ds.sample_rate, ds.n_fft, ds.n_mels, *mel_band_edges(ds))  # (n_mels, bins)
     mel = np.exp(log_mel)  # undo safe_log
     mag = np.maximum(mel @ np.linalg.pinv(fb).T, 0.0).astype(np.float32)  # [frames, bins]
     stft = STFT(ds.n_fft, ds.hop_length, ds.win_length)
@@ -71,7 +71,7 @@ def save_audio_and_computed_spect(config, global_step, writer, audio, audio_pred
     """Waveform models: dump WAVs and mel grids computed from the audio."""
     ds = config.dataset
     mel_op = cached_mel(ds.sample_rate, ds.n_fft, ds.hop_length, ds.win_length,
-                        ds.n_mels, 0.0, 8000.0)
+                        ds.n_mels, *mel_band_edges(ds))
     spect, spect_pred = [], []
     for i, (gt, pred) in enumerate(zip(audio, audio_pred)):
         if i == n:

@@ -26,6 +26,18 @@ def ckpt_dir(log_dir: str, step_or_last) -> str:
     return os.path.join(os.path.abspath(log_dir), "ckpts", f"ckpt.{step_or_last}")
 
 
+# resumed training must keep the PRNG implementation it started with — a
+# silent threefry<->rbg switch changes every dropout/revival stream mid-run
+_PRNG_IMPL_IDS = {"threefry": 0, "rbg": 1, "unsafe_rbg": 2}
+
+
+def _current_prng_impl() -> str:
+    impl = str(jax.config.jax_default_prng_impl)
+    if impl == "threefry2x32":  # jax's enum name for the default impl
+        impl = "threefry"
+    return impl if impl in _PRNG_IMPL_IDS else "threefry"
+
+
 def save_checkpoint(config, global_step: int, epoch: int, state: TrainState) -> str:
     """epoch == -1 saves as 'last' (reference save_checkpoint semantics)."""
     tag = "last" if epoch == -1 else global_step
@@ -34,6 +46,8 @@ def save_checkpoint(config, global_step: int, epoch: int, state: TrainState) -> 
         "state": jax.device_get(state),
         "step": global_step,
         "epoch": config.train.total_epochs if epoch == -1 else epoch,
+        # stored as an int id (orbax pytrees hold arrays, not strings)
+        "prng_impl_id": _PRNG_IMPL_IDS[_current_prng_impl()],
     }
     checkpointer = ocp.PyTreeCheckpointer()
     checkpointer.save(path, payload, force=True)
@@ -42,10 +56,30 @@ def save_checkpoint(config, global_step: int, epoch: int, state: TrainState) -> 
 
 
 def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, int]:
-    """Restores into the structure of ``state`` (created fresh from config)."""
+    """Restores into the structure of ``state`` (created fresh from config).
+
+    Raises if the checkpoint records a different PRNG implementation than the
+    active one (--prng_impl): resuming under a different impl silently changes
+    the dropout/revival random streams mid-run.
+    """
     checkpointer = ocp.PyTreeCheckpointer()
-    template = {"state": jax.device_get(state), "step": 0, "epoch": 0}
-    payload = checkpointer.restore(os.path.abspath(path), item=template)
+    template = {"state": jax.device_get(state), "step": 0, "epoch": 0,
+                "prng_impl_id": 0}
+    try:
+        payload = checkpointer.restore(os.path.abspath(path), item=template)
+    except Exception:
+        # pre-round-3 checkpoints lack prng_impl_id; restore without the check
+        template.pop("prng_impl_id")
+        payload = checkpointer.restore(os.path.abspath(path), item=template)
+    if "prng_impl_id" in payload:
+        saved_id = int(payload["prng_impl_id"])
+        current = _current_prng_impl()
+        if saved_id != _PRNG_IMPL_IDS[current]:
+            names = {v: k for k, v in _PRNG_IMPL_IDS.items()}
+            raise RuntimeError(
+                f"Checkpoint {path} was trained with --prng_impl "
+                f"{names.get(saved_id, saved_id)} but the current run uses "
+                f"{current}; resume with the same --prng_impl.")
     restored = payload["state"]
     if not isinstance(restored, TrainState):
         restored = TrainState(**restored)

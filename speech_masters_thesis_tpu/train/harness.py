@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from speech_masters_thesis_tpu.data.batching import DataLoader
-from speech_masters_thesis_tpu.models.base import TASK_FEATURES
+from speech_masters_thesis_tpu.models.base import TASK_FEATURES, TOKEN_TO_SPECTROGRAM
 from speech_masters_thesis_tpu.utils.registry import resolve_dataset, resolve_model
 
 logger = logging.getLogger(__name__)
@@ -44,10 +44,14 @@ def get_model(config):
     model = model_cls(config=config.to_dict())
     for key, value in TASK_FEATURES[model_cls.TASK].items():
         config.dataset[key] = value
-    if config.dataset.get("on_device_spect") and config.dataset.get("use_spect"):
+    if (config.dataset.get("on_device_spect") and config.dataset.get("use_spect")
+            and model_cls.TASK == TOKEN_TO_SPECTROGRAM):
         # ship raw audio instead of host-extracted mel; the model computes
         # the spectrogram inside the jitted step (models/base.py:
-        # spect_from_audio — the 1-core host cannot feed mel fast enough)
+        # spect_from_audio — the 1-core host cannot feed mel fast enough).
+        # Gated on the task: only TokenToSpectrogramModel.supervised_step
+        # (and GlowTTS.ddi) implement the audio->mel fallback; a
+        # SPECTROGRAM_RECONSTRUCTION model would receive spect=None and crash.
         config.dataset["use_spect"] = False
         config.dataset["use_audio"] = True
     return model

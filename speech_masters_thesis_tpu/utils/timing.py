@@ -81,11 +81,19 @@ def time_steps(run_one: Callable[[Any], Tuple[Any, Any]], carry: Any,
 
 def rate_report(*, per_step_units: float, sec_per_step: float,
                 flops_per_step: Optional[float], bf16: bool,
-                n_chips: int = 1) -> Dict[str, float]:
+                n_chips: int = 1,
+                model_flops_per_step: Optional[float] = None) -> Dict[str, float]:
     """Throughput + MFU fields for a benchmark JSON record.
 
     Raises if the implied FLOP rate exceeds chip peak — an impossible
     number means the timing barrier is broken, and must never be published.
+
+    ``flops_per_step`` is EXECUTED arithmetic (including e.g. a fused
+    kernel's in-tile backward recompute, declared via pl.CostEstimate).
+    ``model_flops_per_step`` is the model's intrinsic FLOP count (the same
+    math with no recompute) — when given, the report carries BOTH
+    ``mfu`` (executed) and the conservative ``model_mfu``; headline numbers
+    should quote the conservative one.
     """
     out: Dict[str, float] = {
         "step_ms": round(sec_per_step * 1e3, 2),
@@ -97,6 +105,10 @@ def rate_report(*, per_step_units: float, sec_per_step: float,
         out["tflops_per_step"] = round(flops_per_step / 1e12, 2)
         out["tflops_per_sec"] = round(tflops, 2)
         out["mfu"] = round(tflops * 1e12 / (peak * n_chips), 4)
+        if model_flops_per_step:
+            out["model_tflops_per_step"] = round(model_flops_per_step / 1e12, 2)
+            out["model_mfu"] = round(
+                model_flops_per_step / sec_per_step / (peak * n_chips), 4)
         if tflops * 1e12 > 1.05 * peak * n_chips:
             raise RuntimeError(
                 f"Implied {tflops:.1f} TFLOP/s exceeds chip peak "

@@ -309,3 +309,31 @@ def test_on_device_spect_matches_host_path():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ld_h["y"]), np.asarray(ld_d["y"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_proximal_init_copies_q_into_k():
+    """proximal_init: conv_k starts as a copy of conv_q, weights AND bias
+    (reference submodules.py:444-447); conv_v stays independent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from speech_masters_thesis_tpu.models.glow_tts.attention import RelativeSelfAttention
+
+    attn = RelativeSelfAttention(16, 16, 2, window_size=4, proximal_init=True)
+    x = jnp.ones((1, 8, 16))
+    variables = attn.init(jax.random.PRNGKey(0), x, x, None, train=False)
+    p = variables["params"]
+    np.testing.assert_array_equal(np.asarray(p["conv_q"]["kernel"]),
+                                  np.asarray(p["conv_k"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(p["conv_q"]["bias"]),
+                                  np.asarray(p["conv_k"]["bias"]))
+    assert not np.array_equal(np.asarray(p["conv_q"]["kernel"]),
+                              np.asarray(p["conv_v"]["kernel"]))
+
+    # default (off): q and k independent — and apply works under both
+    attn_off = RelativeSelfAttention(16, 16, 2, window_size=4)
+    v_off = attn_off.init(jax.random.PRNGKey(0), x, x, None, train=False)
+    assert not np.array_equal(np.asarray(v_off["params"]["conv_q"]["kernel"]),
+                              np.asarray(v_off["params"]["conv_k"]["kernel"]))
+    out = attn.apply(variables, x, x, None, train=False)
+    assert np.isfinite(np.asarray(out)).all()

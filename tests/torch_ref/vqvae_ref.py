@@ -278,14 +278,49 @@ class Decoder(nn.Module):
 
 
 class BottleneckBlock(nn.Module):
-    """EMA k-means codebook; only the parity-relevant paths (quantize/
-    dequantize/forward with update_k=False). ``k`` is the registered buffer,
-    matching the checkpoint layout (reference bottleneck.py:24)."""
+    """EMA k-means codebook: quantize/dequantize plus the full TRAINING
+    transition (EMA centroid update + dead-code revival + straight-through),
+    written from the reference behavior spec (bottleneck.py:60-90,171-201).
+    ``k`` is the registered buffer, matching the checkpoint layout
+    (reference bottleneck.py:24)."""
 
     def __init__(self, k_bins, emb_width, mu, threshold):
         super().__init__()
         self.k_bins, self.emb_width, self.mu, self.threshold = k_bins, emb_width, mu, threshold
         self.register_buffer("k", torch.zeros(k_bins, emb_width))
+        self.k_sum = None
+        self.k_elem = None
+
+    def restore_k(self, k):
+        """Pre-initialize the codebook (reference restore_k semantics:
+        k_sum starts as a copy of k, k_elem as ones)."""
+        with torch.no_grad():
+            self.k.copy_(k)
+        self.k_sum = self.k.clone()
+        self.k_elem = torch.ones(self.k_bins)
+
+    def update_k(self, flat, codes):
+        """EMA centroid transition over VALID rows only (the reference feeds
+        x[indices] / x_l[indices], bottleneck.py:188)."""
+        with torch.no_grad():
+            onehot = F.one_hot(codes, self.k_bins).to(flat.dtype)  # [N, K]
+            k_sum_batch = onehot.t() @ flat
+            k_elem_batch = onehot.sum(0)
+            # revival draw: random valid rows + 0.01/sqrt(C) noise (the
+            # reference tiles + randperms; only consumed by dead codes)
+            idx = torch.randint(0, flat.shape[0], (self.k_bins,))
+            k_rand = flat[idx] + torch.randn(self.k_bins, flat.shape[1]) * (0.01 / math.sqrt(flat.shape[1]))
+
+            old_k = self.k.clone()
+            self.k_sum = self.mu * self.k_sum + (1.0 - self.mu) * k_sum_batch
+            self.k_elem = self.mu * self.k_elem + (1.0 - self.mu) * k_elem_batch
+            usage = (self.k_elem[:, None] >= self.threshold).to(flat.dtype)
+            self.k.copy_(usage * (self.k_sum / self.k_elem[:, None]) + (1.0 - usage) * k_rand)
+
+            k_prob = k_elem_batch / k_elem_batch.sum()
+            entropy = -(k_prob * safe_log(k_prob, eps=1e-8)).sum()
+            return {"entropy": entropy, "used_curr": (k_elem_batch >= self.threshold).sum(),
+                    "usage": usage.sum(), "dk": (self.k - old_k).norm() / math.sqrt(old_k.numel())}
 
     def quantize(self, flat, mask=None):
         # squared-L2 distance matrix, argmin over codes (bottleneck.py:126-141)
@@ -309,7 +344,6 @@ class BottleneckBlock(nn.Module):
         return F.embedding(codes, self.k).permute(0, 2, 1).contiguous()
 
     def forward(self, x, mask, update_k=False):
-        assert not update_k, "oracle covers inference parity only"
         n, _, t = x.shape
         flat = x.permute(0, 2, 1).reshape(-1, self.emb_width)
         flat_mask = mask.permute(0, 2, 1).reshape(-1)
@@ -317,10 +351,15 @@ class BottleneckBlock(nn.Module):
             codes, fit = self.quantize(flat, flat_mask)
             quant = F.embedding(codes, self.k)
         valid = flat_mask != 0
+        metrics = {"fit": fit}
+        if update_k:
+            # reference order: update_k BEFORE the loss/passthrough
+            # (bottleneck.py:186-196), using the pre-update codes
+            metrics.update(self.update_k(flat[valid].detach(), codes[valid]))
         commit = (quant[valid].detach() - flat[valid]).norm() ** 2 / (flat_mask.sum() * flat.shape[1])
         quant = flat + (quant - flat).detach()
         x_d = quant.view(n, t, -1).permute(0, 2, 1).contiguous()
-        return codes.view(n, t), x_d * mask, commit, {"fit": fit}
+        return codes.view(n, t), x_d * mask, commit, metrics
 
 
 class STFT(nn.Module):
@@ -442,13 +481,13 @@ class VQVAE(nn.Module):
         self.commit = loss["commit"]
         self.multispectral = loss["multispectral"]
 
-    def forward(self, x, x_lengths):
-        """x: [B, 1, T]. Inference-parity forward (update_k off)."""
+    def forward(self, x, x_lengths, update_k=False):
+        """x: [B, 1, T]. update_k=True runs the training transition."""
         t = x.shape[-1]
         mask = (torch.arange(t)[None, :] < x_lengths[:, None]).to(x.dtype)[:, None, :]
         h, h_mask = self.encoders[0](x, mask)
         bn = self.bottleneck.level_blocks[0]
-        codes, x_d, commit, metrics = bn(h, h_mask, update_k=False)
+        codes, x_d, commit, metrics = bn(h, h_mask, update_k=update_k)
         y, _ = self.decoders[0]([x_d], [h_mask])
         loss_recon = self.multi_recon_loss(x, y, mask)
         loss_stft = self.multi_stft_loss(x, y, mask)
