@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from speech_masters_thesis_tpu.ops.basic import softmax_f32
+
 NEG_MASK = -1e4  # reference uses masked_fill(-1e4) (submodules.py:478)
 
 
@@ -139,7 +141,9 @@ class RelativeSelfAttention(nn.Module):
                 band = jnp.tril(jnp.triu(jnp.ones((t_t, t_s)), -self.block_length), self.block_length)
                 scores = scores * band[None, None] + NEG_MASK * (1.0 - band[None, None])
 
-        p_attn = jax.nn.softmax(scores, axis=-1)
+        # f32-internal softmax, residuals in the activation dtype (bf16 under
+        # mixed precision) — see ops/basic.py:softmax_f32
+        p_attn = softmax_f32(scores)
         p_attn = nn.Dropout(self.p_dropout, deterministic=not train)(p_attn)
         out = jnp.einsum("bhqk,bhkd->bhqd", p_attn, vh)
 

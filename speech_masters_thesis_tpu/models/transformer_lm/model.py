@@ -32,7 +32,7 @@ import numpy as np
 from speech_masters_thesis_tpu.models.base import TokenToWaveformModel
 from speech_masters_thesis_tpu.models.vqvae.bottleneck import BottleneckBlock
 from speech_masters_thesis_tpu.models.vqvae.encdec import Decoder
-from speech_masters_thesis_tpu.ops.basic import sequence_mask
+from speech_masters_thesis_tpu.ops.basic import sequence_mask, softmax_f32
 from speech_masters_thesis_tpu.ops.losses import focal_loss, masked_cross_entropy, mmi_loss
 from speech_masters_thesis_tpu.utils.config import Config
 
@@ -101,8 +101,13 @@ class MultiHeadSelfAttention(nn.Module):
     def _attend(self, q, k, v, attn_bias, train):
         d_head = self.d_model // self.n_heads
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_head)
-        logits = logits + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1)
+        # bias follows the activation dtype: an f32 bias would promote the
+        # whole [B,H,T,T] chain (logits, probs, dropout mask, their backward
+        # echoes) to f32 — measured 35% of the bf16 train step in HBM copies
+        # of f32[8,16,257,257] tensors. Softmax still reduces in f32.
+        logits = logits + attn_bias.astype(logits.dtype)
+        # f32-internal softmax with dtype-of-x residuals (ops/basic.py)
+        probs = softmax_f32(logits)
         probs = self.attn_dropout(probs, deterministic=not train)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         b, t = out.shape[0], out.shape[1]
@@ -281,7 +286,11 @@ class TransformerLM(TokenToWaveformModel):
     def _backbone(self, tokens: jnp.ndarray, attn_bias: jnp.ndarray, train: bool,
                   key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         x = self.embedding(tokens) * math.sqrt(self.d_model)
-        x = x + self.pe[None, :x.shape[1]]
+        # pe is an f32 constant: adding it un-cast would promote x — and with
+        # it the ENTIRE backbone incl. every [B,H,T,T] attention tensor — to
+        # f32, silently defeating bf16 mixed precision (measured: the "bf16"
+        # step ran f32 throughout; 4x MXU cost + 2x HBM on the logits chain)
+        x = x + self.pe[None, :x.shape[1]].astype(x.dtype)
         x = self.pos_dropout(x, deterministic=not train)
         for layer in self.layers:
             x = layer(x, attn_bias, train=train, key_mask=key_mask)
@@ -355,7 +364,8 @@ class TransformerLM(TokenToWaveformModel):
         def step(carry, step_rng):
             tokens, k_caches, v_caches, position = carry
             x = self.embedding(tokens) * math.sqrt(self.d_model)
-            x = x + jax.lax.dynamic_slice_in_dim(self.pe, position, 1, axis=0)[None]
+            x = x + jax.lax.dynamic_slice_in_dim(self.pe, position, 1,
+                                                 axis=0)[None].astype(x.dtype)
             new_k, new_v = [], []
             for i, layer in enumerate(self.layers):
                 x, k_c, v_c = layer.decode_step(x, k_caches[i], v_caches[i], position)

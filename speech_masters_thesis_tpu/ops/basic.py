@@ -13,6 +13,7 @@ in lanes, so the feature axis maps onto the TPU's 128-wide vector lanes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -32,6 +33,37 @@ def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
     positive = x > 0
     guarded = jnp.where(positive, x, 1.0)
     return jnp.where(positive, jnp.sqrt(guarded), 0.0)
+
+
+@jax.custom_vjp
+def softmax_f32(logits: jnp.ndarray) -> jnp.ndarray:
+    """Last-axis softmax that reduces in f32 but MATERIALIZES in the input
+    dtype (probs forward, probs residual for backward, grads).
+
+    Why it exists: for a bf16 [B, H, T, T] attention-logits tensor, plain
+    ``jax.nn.softmax(logits.astype(f32))`` makes autodiff save the f32 probs
+    as the VJP residual — doubling the HBM footprint/traffic of the biggest
+    tensor in a transformer train step. Here the residual is the bf16 probs;
+    the backward recomputes in f32 from them. For f32 inputs this is exactly
+    jax.nn.softmax.
+    """
+    out = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return out.astype(logits.dtype)
+
+
+def _softmax_f32_fwd(logits):
+    out = softmax_f32(logits)
+    return out, out
+
+
+def _softmax_f32_bwd(probs, g):
+    p = probs.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    ds = p * (gf - jnp.sum(gf * p, axis=-1, keepdims=True))
+    return (ds.astype(probs.dtype),)
+
+
+softmax_f32.defvjp(_softmax_f32_fwd, _softmax_f32_bwd)
 
 
 def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:

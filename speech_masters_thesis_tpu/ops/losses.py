@@ -121,7 +121,7 @@ def cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 def masked_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """CE averaged over mask-selected rows (static shapes; no boolean gather)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(nll * mask) / denom
@@ -136,7 +136,7 @@ def mmi_loss(logits: jnp.ndarray, targets: jnp.ndarray, num_classes: int,
     quirk that scales the CE-like term by a constant; reproduced on purpose,
     see SURVEY §2.3).
     """
-    p_zy = jax.nn.softmax(logits, axis=-1)
+    p_zy = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if mask is not None:
         denom = jnp.maximum(jnp.sum(mask), 1.0)
         p_z = jnp.sum(p_zy * mask[:, None], axis=0) / denom
@@ -161,7 +161,7 @@ def focal_loss(logits: jnp.ndarray, targets: jnp.ndarray, gamma: float = 0.0,
     Reference models/transformer_lm/losses.py:24-105 (gamma=10 when selected
     by the LM config, reference transformer_lm.py:81).
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     log_pt = jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
     ce = -log_pt
     focal = (1.0 - jnp.exp(log_pt)) ** gamma
