@@ -335,12 +335,13 @@ def bench_lm_train(quick: bool = False) -> dict:
     config = Config({
         "model": {
             "_import_": "models.transformer_lm.transformer_lm.TransformerLM",
-            # Pallas flash attention — default OFF: at the reference scale
-            # (T=257, head_dim 32) it measured 2.8x SLOWER than XLA's
-            # materialized-logits path (36.9 vs 13.2 ms; the 32-lane
-            # contraction starves the MXU). It wins on MEMORY at long T
-            # (T=2048 runs where the unfused path OOMs). LM_FLASH=1 opts in.
-            "fused_attention": os.environ.get("LM_FLASH", "0") == "1",
+            # Fused attention — default ON: at T <= 1024 this routes to the
+            # small-T VMEM-resident Pallas kernel (ops/pallas/attention.py;
+            # batch 8: 11.7 -> 11.3 ms, batch 64: 130.5 -> 67.9 ms, 1.92x —
+            # the [B,H,T,T] HBM tensors vanish). Long T uses the stock flash
+            # kernel (O(T) memory). LM_FUSED=0 opts out for A/B.
+            "fused_attention": os.environ.get(
+                "LM_FUSED", os.environ.get("LM_FLASH", "1")) == "1",
             "vocab_size": 512, "embed_dim": 512, "max_len": 5000,
             "num_layers": 12, "d_model": 512, "nhead": 16,
             "dim_feedforward": 2048, "dropout": 0.1, "activation": "relu",

@@ -88,14 +88,19 @@ class MultiHeadSelfAttention(nn.Module):
         q = self._split_heads(q)
         k = self._split_heads(k)
         v = self._split_heads(v)
-        use_flash = (self.fused and key_mask is not None
-                     and jax.default_backend() == "tpu"
-                     and not (train and self.dropout > 0))
-        # flash keeps the probability matrix implicit, so attention-prob
-        # dropout cannot apply; fall back to the unfused path whenever it
-        # would (mirrors the p_dropout>0 fallback of the Pallas blocks)
-        if use_flash:
-            return self._attend_flash(q, k, v, key_mask)
+        t = q.shape[1]
+        if self.fused and key_mask is not None:
+            on_tpu = jax.default_backend() == "tpu"
+            dropping = train and self.dropout > 0
+            if t <= 1024 and (on_tpu or not dropping):
+                # small-T fused kernel: whole [T,T] head in VMEM, in-kernel
+                # dropout (TPU hardware PRNG — no interpret lowering, so the
+                # CPU/interpret path falls back when dropout is active)
+                return self._attend_smallt(q, k, v, key_mask, train)
+            if on_tpu and not dropping:
+                # long-T: stock flash (O(T) memory); keeps the probability
+                # matrix implicit so attention-prob dropout cannot apply
+                return self._attend_flash(q, k, v, key_mask)
         return self._attend(q, k, v, attn_bias, train)
 
     def _attend(self, q, k, v, attn_bias, train):
@@ -111,6 +116,30 @@ class MultiHeadSelfAttention(nn.Module):
         probs = self.attn_dropout(probs, deterministic=not train)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         b, t = out.shape[0], out.shape[1]
+        return self.out_proj(out.reshape(b, t, self.d_model))
+
+    def _attend_smallt(self, q, k, v, key_mask, train):
+        """Fused VMEM-resident attention (ops/pallas/attention.py).
+
+        Equivalent to `_attend` at valid positions; dropout uses the TPU
+        hardware PRNG (documented deviation, same as the other fused
+        kernels). q/k/v stay in [B, T, H, D] — no [B,H,T,D] transpose.
+        """
+        from speech_masters_thesis_tpu.ops.pallas.attention import (
+            SmallTAttnSpec, apply_fused_attention)
+
+        b, t, h, d = q.shape
+        p = float(self.dropout) if train else 0.0
+        if p > 0.0:
+            seed_bits = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            seed_f32 = jax.lax.bitcast_convert_type(seed_bits, jnp.float32)
+        else:
+            seed_f32 = jnp.float32(0.0)
+        spec = SmallTAttnSpec(n_heads=h, d_head=d, scale=1.0 / math.sqrt(d),
+                              p_drop=p,
+                              interpret=jax.default_backend() != "tpu")
+        lengths = jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+        out = apply_fused_attention(spec, seed_f32, lengths, q, k, v)
         return self.out_proj(out.reshape(b, t, self.d_model))
 
     def _attend_flash(self, q, k, v, key_mask):
