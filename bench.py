@@ -65,6 +65,9 @@ def main():
     # fused Pallas GatedHiFi blocks (ops/pallas/gated_hifi.py); BENCH_FUSED=0 opts out
     config.model.fused_blocks = os.environ.get("BENCH_FUSED", "1") == "1" \
         and jax.default_backend() == "tpu"
+    # space-to-depth/sub-pixel strided convs — measured slower (BASELINE.md),
+    # default off; BENCH_FOLDED=1 re-runs the rejected experiment
+    config.model.folded_convs = os.environ.get("BENCH_FOLDED", "0") == "1"
 
     config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
     config = config.merge(Config({"train": {

@@ -84,6 +84,7 @@ class VQTTS(TokenToWaveformModel):
             zero_out=cfg.zero_out,
             remat=cfg.get("remat", False),
             fused=cfg.get("fused_blocks", False),
+            folded=cfg.get("folded_convs", False),
             # one knob for the codec ResLayer dropout (reference hardwires
             # 0.1, resnet.py:18) — honored by fused and unfused paths alike
             p_dropout=cfg.get("p_dropout", 0.1),

@@ -8,6 +8,26 @@ Rebuild of reference models/vqvae/conv.py and encdec.py:
 Strided downsampling uses filter = 2*stride, pad = stride//2 so lengths
 divide exactly (reference conv.py:61); the transposed conv uses the matching
 geometry so decoder lengths are exactly T * stride**down.
+
+TPU perf knob ``folded`` (config ``model.folded_convs``): reformulates the
+stride-s convs through a space-to-depth fold. In NTC layout the fold/unfold
+reshapes are layout-trivial (pure minor-dim merges, no data movement):
+
+  * strided conv: x [B, T, C] -> [B, T/s, s*C], then a dense stride-1 conv
+    whose folded kernel scatters the original taps — the contraction dim
+    grows s-fold (64 -> 128 here), filling the MXU, and XLA's strided-conv
+    lowering (windowed gathers) disappears.
+  * conv-transpose: a dense stride-1 conv producing [B, T, s*F] (sub-pixel
+    channels), then reshape -> [B, s*T, F]. This removes the
+    input-dilation + kernel-reverse lowering of lax.conv_transpose (the
+    ``reverse`` HLOs measured ~5 ms/step at batch 32, BASELINE.md).
+
+Identical parameters (same tree, same shapes); same math up to f32
+accumulation order. MEASURED AND REJECTED on v5e at the shipped bench
+config (BASELINE.md): folding adds 1.5x arithmetic to these convs (the
+scattered zero taps) and loses more than the lowering win — step 119.8 ->
+123.8 ms (both), 123.1 ms (transposes only). Kept behind the default-off
+``model.folded_convs`` knob as the recorded experiment.
 """
 
 from __future__ import annotations
@@ -21,6 +41,58 @@ import jax.numpy as jnp
 from speech_masters_thesis_tpu.models.vqvae.blocks import get_block
 
 
+def _fold_conv(x: jnp.ndarray, kernel: jnp.ndarray, k: int, s: int, p: int):
+    """Stride-s conv via space-to-depth: out[t] = sum_j w[j] x[s*t + j - p].
+
+    x: [B, T, C] with T % s == 0; kernel: [k, C, F].
+    Returns [B, T//s, F] (bias not added).
+    """
+    B, T, C = x.shape
+    F = kernel.shape[-1]
+    d_min = (-p) // s                                        # python // floors
+    d_max = (k - 1 - p) // s
+    kp = d_max - d_min + 1
+    fk = jnp.zeros((kp, s * C, F), kernel.dtype)
+    for j in range(k):
+        d, r = (j - p) // s, (j - p) % s
+        fk = fk.at[d - d_min, r * C:(r + 1) * C, :].set(kernel[j])
+    x_fold = x.reshape(B, T // s, s * C)                     # layout-trivial
+    return jax.lax.conv_general_dilated(
+        x_fold, fk, window_strides=(1,), padding=[(-d_min, d_max)],
+        dimension_numbers=("NWC", "WIO", "NWC"))
+
+
+def _fold_conv_transpose(x: jnp.ndarray, kernel: jnp.ndarray, k: int, s: int, p: int):
+    """Stride-s transposed conv via sub-pixel channels.
+
+    torch semantics: out[s*t + j - p] += x[t] @ w[j]^T, out_len = s*T for
+    k = 2s, p = s//2 (the only geometry the codec uses, but the code is
+    general for out_len = (T-1)*s - 2p + k == s*T).
+    x: [B, T, C]; kernel: [k, F, C] (ConvTranspose1d layout).
+    Returns [B, s*T, F] (bias not added).
+    """
+    B, T, C = x.shape
+    F = kernel.shape[1]
+    assert (k - 2 * p) == s, "sub-pixel fold requires out_len == s*T"
+    # out[s*t' + r] = sum_d x[t' - d] @ w[s*d + r + p]^T
+    ds = sorted({(j - r - p) // s for j in range(k) for r in range(s)
+                 if (j - r - p) % s == 0})
+    d_min, d_max = ds[0], ds[-1]
+    kp = d_max - d_min + 1
+    fk = jnp.zeros((kp, C, s * F), kernel.dtype)
+    for r in range(s):
+        for j in range(k):
+            if (j - r - p) % s != 0:
+                continue
+            d = (j - r - p) // s
+            # conv index i' = d_max - d so that x[t + i' - pad_l] == x[t - d]
+            fk = fk.at[d_max - d, :, r * F:(r + 1) * F].set(kernel[j].T)
+    y = jax.lax.conv_general_dilated(
+        x, fk, window_strides=(1,), padding=[(d_max, -d_min)],
+        dimension_numbers=("NWC", "WIO", "NWC"))             # [B, T, s*F]
+    return y.reshape(B, s * T, F)                            # layout-trivial
+
+
 class ConvTranspose1d(nn.Module):
     """Torch-semantics ConvTranspose1d: out_len = (T-1)*stride - 2*pad + kernel."""
 
@@ -28,6 +100,7 @@ class ConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int
     padding: int
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -37,6 +110,10 @@ class ConvTranspose1d(nn.Module):
             (self.kernel_size, self.features, in_features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.folded and self.stride > 1 \
+                and self.kernel_size - 2 * self.padding == self.stride:
+            return _fold_conv_transpose(
+                x, kernel, self.kernel_size, self.stride, self.padding) + bias
         pad = self.kernel_size - 1 - self.padding
         y = jax.lax.conv_transpose(
             x, kernel,
@@ -48,6 +125,21 @@ class ConvTranspose1d(nn.Module):
         return y + bias
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv's exact param tree (kernel [k, in, out], bias [out])
+    without running it, so the folded path stays checkpoint-identical."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.kernel_size, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MaskedConv1d(nn.Module):
     """Conv over masked input; mask is stride-subsampled (reference conv.py:5-10)."""
 
@@ -55,9 +147,16 @@ class MaskedConv1d(nn.Module):
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        if self.folded and self.stride > 1 and x.shape[1] % self.stride == 0:
+            kernel, bias = _ConvParams(self.features, self.kernel_size,
+                                       name="Conv_0")(x.shape[-1])
+            y = _fold_conv(x * mask, kernel.astype(x.dtype),
+                           self.kernel_size, self.stride, self.padding)
+            return y + bias.astype(y.dtype), mask[:, ::self.stride]
         x = nn.Conv(
             self.features, (self.kernel_size,),
             strides=(self.stride,),
@@ -73,10 +172,12 @@ class MaskedConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int = 1
     padding: int = 0
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
-        x = ConvTranspose1d(self.features, self.kernel_size, self.stride, self.padding)(x * mask)
+        x = ConvTranspose1d(self.features, self.kernel_size, self.stride,
+                            self.padding, folded=self.folded)(x * mask)
         return x, jnp.repeat(mask, self.stride, axis=1)
 
 
@@ -98,6 +199,7 @@ class EncoderConvBlock(nn.Module):
     zero_out: bool = True
     res_scale: bool = False
     fused: bool = False
+    folded: bool = False
     p_dropout: float = 0.1
 
     @nn.compact
@@ -107,7 +209,8 @@ class EncoderConvBlock(nn.Module):
         Block = get_block(self.block_type)
         filter_t, pad_t = self.stride_t * 2, self.stride_t // 2
         for i in range(self.down_t):
-            x, mask = MaskedConv1d(self.width, filter_t, self.stride_t, pad_t)(x, mask)
+            x, mask = MaskedConv1d(self.width, filter_t, self.stride_t, pad_t,
+                                   folded=self.folded)(x, mask)
             x, mask = Block(
                 self.width, self.depth, m_conv=self.m_conv,
                 dilation_growth_rate=self.dilation_growth_rate,
@@ -140,6 +243,7 @@ class DecoderConvBlock(nn.Module):
     res_scale: bool = False
     reverse_decoder_dilation: bool = False
     fused: bool = False
+    folded: bool = False
     p_dropout: float = 0.1
 
     @nn.compact
@@ -164,7 +268,8 @@ class DecoderConvBlock(nn.Module):
             block_kwargs["fused"] = self.fused
             x, mask = Block(self.width, self.depth, **block_kwargs)(x, mask, train=train)
             out_width = self.input_emb_width if i == (self.down_t - 1) else self.width
-            x, mask = MaskedConvTranspose1d(out_width, filter_t, self.stride_t, pad_t)(x, mask)
+            x, mask = MaskedConvTranspose1d(out_width, filter_t, self.stride_t,
+                                            pad_t, folded=self.folded)(x, mask)
         return x, mask
 
 
@@ -197,6 +302,8 @@ class Encoder(nn.Module):
     remat: bool = False
     # run gated_hifi blocks as fused Pallas kernels (ops/pallas/gated_hifi.py)
     fused: bool = False
+    # space-to-depth/sub-pixel strided convs (see module docstring)
+    folded: bool = False
     p_dropout: float = 0.1
 
     @nn.compact
@@ -216,7 +323,7 @@ class Encoder(nn.Module):
                 kernel_size_growth_rate=self.kernel_size_growth_rate,
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
-                fused=self.fused, p_dropout=self.p_dropout,
+                fused=self.fused, folded=self.folded, p_dropout=self.p_dropout,
                 name=f"level_{level}",
             )(x, mask, train)
         return x, mask
@@ -246,6 +353,7 @@ class Decoder(nn.Module):
     reverse_decoder_dilation: bool = False
     remat: bool = False
     fused: bool = False
+    folded: bool = False
     p_dropout: float = 0.1
 
     @nn.compact
@@ -272,7 +380,7 @@ class Decoder(nn.Module):
                 kernel_size_cycle=self.kernel_size_cycle,
                 zero_out=self.zero_out, res_scale=self.res_scale,
                 reverse_decoder_dilation=self.reverse_decoder_dilation,
-                fused=self.fused, p_dropout=self.p_dropout,
+                fused=self.fused, folded=self.folded, p_dropout=self.p_dropout,
                 name=f"level_{level}",
             )(x, mask, train)
             if level != 0 and all_levels:

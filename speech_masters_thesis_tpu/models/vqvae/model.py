@@ -63,6 +63,7 @@ class VQVAE(WaveformReconstructionModel):
             zero_out=cfg.zero_out,
             remat=cfg.get("remat", False),
             fused=cfg.get("fused_blocks", False),
+            folded=cfg.get("folded_convs", False),
             # reference hardwires ResLayer dropout 0.1 (resnet.py:18); one
             # config knob controls both the flax and fused-Pallas paths
             p_dropout=cfg.get("p_dropout", 0.1),

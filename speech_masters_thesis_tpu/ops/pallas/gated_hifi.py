@@ -19,9 +19,11 @@ softmax/tanh gating, gate 1x1, block residual — in VMEM per time tile:
     x and the dropout seeds (recompute costs FLOPs, which the chip has
     idle; it was starved for bytes).
   * Dropout masks are generated with the on-chip PRNG, seeded per
-    (batch, branch, dropout-site, absolute 128-frame chunk) so forward and
-    backward regenerate bit-identical masks without storing them, and halo
-    recomputation in neighboring tiles agrees with the owning tile.
+    (batch, branch, absolute 128-frame chunk) so forward and backward
+    regenerate bit-identical masks without storing them, and halo
+    recomputation in neighboring tiles agrees with the owning tile. One
+    u32 generation feeds both dropout sites of a branch (hi/lo 16-bit
+    fields, keep-prob quantized to 2^-16 — see _branch_masks).
 
 Semantics and parity notes (vs the flax path, blocks.py:210-276):
   * Identical math at VALID positions. At masked/padded positions the flax
@@ -111,24 +113,38 @@ def _mix(seed, *vals):
     return h
 
 
-def _dropout(x, spec: GatedHiFiSpec, seed, b, site, chunk0):
-    """Dropout over [rows, C] where row r is absolute chunk ``chunk0 + r//CHUNK``.
+def _branch_masks(spec: GatedHiFiSpec, seed, b, d, chunk0, rows, cols):
+    """Both dropout masks of branch ``d`` over ``rows`` CHUNK-aligned rows.
 
-    x rows must be CHUNK-aligned to absolute positions. site distinguishes
-    (branch, which-dropout). Returns x when p_drop == 0.
+    ONE u32 PRNG generation per (branch, absolute chunk) feeds BOTH dropout
+    sites of the branch: site 0 (pre-conv) keeps where the high 16 bits
+    clear the threshold, site 1 (post-conv) uses the low 16 bits. The bits
+    are keyed by absolute chunk, so any tile (fwd or bwd, any tile size)
+    regenerates identical masks. Keep probability is quantized to
+    round((1-p)*2^16)/2^16 — within 2^-17 of exact (vs the previous 2^-33),
+    far below statistical detectability; bit generation was ~18% of kernel
+    time and this halves it per use site while the backward drops from
+    ~5 regenerations per site to 1.
+
+    Returns (m0, m1), each [rows, cols] float32 keep*1/(1-p) masks, or
+    (None, None) when p_drop == 0.
     """
     if spec.p_drop <= 0.0:
-        return x
-    rows = x.shape[0]
+        return None, None
     keep_scale = jnp.float32(1.0 / (1.0 - spec.p_drop))
-    threshold = jnp.uint32(int(spec.p_drop * (2 ** 32)))
-    pieces = []
+    th = jnp.uint32(max(1, int(spec.p_drop * 65536.0 + 0.5)))
+    m0s, m1s = [], []
     for ci in range(rows // CHUNK):
-        pltpu.prng_seed(_mix(seed, b, site, chunk0 + ci))
-        bits = pltpu.bitcast(pltpu.prng_random_bits((CHUNK, x.shape[1])), jnp.uint32)
-        keep = (bits >= threshold).astype(jnp.float32) * keep_scale
-        pieces.append(x[ci * CHUNK:(ci + 1) * CHUNK] * keep)
-    return jnp.concatenate(pieces, axis=0)
+        pltpu.prng_seed(_mix(seed, b, d, chunk0 + ci))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((CHUNK, cols)), jnp.uint32)
+        m0s.append(((bits >> 16) >= th).astype(jnp.float32) * keep_scale)
+        m1s.append(((bits & jnp.uint32(0xFFFF)) >= th).astype(jnp.float32) * keep_scale)
+    return jnp.concatenate(m0s, axis=0), jnp.concatenate(m1s, axis=0)
+
+
+def _mask_mul(x, m):
+    """x * m with m possibly None (p_drop == 0)."""
+    return x if m is None else x * m
 
 
 import os as _os
@@ -242,10 +258,12 @@ def _fwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
     ts, ss = [], []
     for d in range(depth):
         z = z_all[:, d * H:(d + 1) * H]                     # [Tp, H]
-        a = _dropout(jnp.maximum(z, 0.0), spec, seed, b, 2 * d, chunk0) * valid
+        m0, m1 = _branch_masks(spec, seed, b, d, chunk0, Tp, H)
+        a = _mask_mul(jnp.maximum(z, 0.0), m0) * valid
         c = _dconv(a, ks[d][...], bs[d][...], spec.kernels[d], spec.dilations[d],
                    halo, Tt, dot_dtype)                     # [Tt, H]
-        h1 = _dropout(jnp.maximum(c, 0.0), spec, seed, b, 2 * d + 1, chunk0 + halo // CHUNK)
+        h1 = _mask_mul(jnp.maximum(c, 0.0),
+                       None if m1 is None else m1[halo:halo + Tt])
         h = jnp.dot(h1.astype(dot_dtype), w1s[d][...].astype(dot_dtype),
                     preferred_element_type=jnp.float32) + b1s[d][...].astype(jnp.float32)
         zp = z[halo:halo + Tt] + spec.res_scale * h         # [Tt, H]
@@ -307,11 +325,12 @@ def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
     # ---- pass 1: recompute zp_d and c_d on the mid window --------------------
     for d in range(depth):
         z = z_all[:, d * H:(d + 1) * H]
-        a = _dropout(jnp.maximum(z, 0.0), spec, seed, b, 2 * d, chunk0) * valid_p
+        m0, m1 = _branch_masks(spec, seed, b, d, chunk0, Tp, H)
+        a = _mask_mul(jnp.maximum(z, 0.0), m0) * valid_p
         c = _dconv(a, ks[d][...], rest[depth + d][...], spec.kernels[d],
                    spec.dilations[d], halo, Tm, dot_dtype)  # [Tm, H]
-        h1 = _dropout(jnp.maximum(c, 0.0), spec, seed, b, 2 * d + 1,
-                      chunk0 + halo // CHUNK)
+        h1 = _mask_mul(jnp.maximum(c, 0.0),
+                       None if m1 is None else m1[halo:halo + Tm])
         h = jnp.dot(h1.astype(dot_dtype), w1s[d][...].astype(dot_dtype),
                     preferred_element_type=jnp.float32) + rest[3 * depth + d][...].astype(jnp.float32)
         zp_scr[d] = (z[halo:halo + Tm] + scale * h)
@@ -349,9 +368,14 @@ def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
         dsd = du * ps[d] * (tanh_t - u)
         dzp = jnp.concatenate([dt, dsd], axis=1)            # [Tm, H]
 
+        # regenerate this branch's two masks once; every dropout use below
+        # (h1, the dc indicator, a, drop1_ind) slices from these
+        m0, m1 = _branch_masks(spec, seed, b, d, chunk0, Tp, H)
+        m1_mid = None if m1 is None else m1[halo:halo + Tm]
+
         c = c_scr[d][...]
         relu_c = jnp.maximum(c, 0.0)
-        h1 = _dropout(relu_c, spec, seed, b, 2 * d + 1, chunk0 + halo // CHUNK)
+        h1 = _mask_mul(relu_c, m1_mid)
         # dW1/db1 from center rows
         dh_c = scale * dzp[ctr]
         dw1_c = jnp.dot(h1[ctr].astype(dot_dtype).T, dh_c.astype(dot_dtype),
@@ -360,14 +384,11 @@ def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
         # grad at conv output (mid rows; halo needed for the transpose conv)
         dh1 = scale * jnp.dot(dzp.astype(dot_dtype), w1s[d][...].T.astype(dot_dtype),
                               preferred_element_type=jnp.float32)
-        # backward through dropout2(relu(c)): regenerate the same mask by
-        # applying dropout to the relu-derivative indicator
-        dc = dh1 * _dropout((c > 0).astype(jnp.float32), spec, seed, b,
-                            2 * d + 1, chunk0 + halo // CHUNK)
+        # backward through dropout2(relu(c)): same mask times the relu gate
+        dc = _mask_mul(dh1, m1_mid) * (c > 0).astype(jnp.float32)
 
         # conv weight grads: dK[j] = sum_center a[t+off_j]^T dc[t]
-        a = _dropout(jnp.maximum(z_all[:, d * H:(d + 1) * H], 0.0), spec, seed,
-                     b, 2 * d, chunk0) * valid_p
+        a = _mask_mul(jnp.maximum(z_all[:, d * H:(d + 1) * H], 0.0), m0) * valid_p
         k, dil = spec.kernels[d], spec.dilations[d]
         half = (k - 1) // 2
         dc_c = dc[ctr]                                      # [Tt, H]
@@ -406,8 +427,8 @@ def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
         #   residual path + conv-transpose path through dropout1(relu(z))
         da = _dconv_t(dc, ks[d][...], k, dil, halo, Tt, dot_dtype)  # [Tt, H]
         z_c = z_all[2 * halo:2 * halo + Tt, d * H:(d + 1) * H]
-        drop1_ind = _dropout((z_c > 0).astype(jnp.float32), spec, seed, b,
-                             2 * d, chunk0 + 2 * halo // CHUNK)
+        drop1_ind = _mask_mul((z_c > 0).astype(jnp.float32),
+                              None if m0 is None else m0[2 * halo:2 * halo + Tt])
         dz_c = dzp[ctr] + da * drop1_ind * valid_p[2 * halo:2 * halo + Tt]
         dz_parts.append(dz_c)
 

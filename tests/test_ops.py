@@ -172,3 +172,81 @@ def test_maximum_path_pallas_interpret_matches_oracle():
     ref = mas_oracle(value.copy(), mask.copy())
     out = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask), interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_griffin_lim_jit_matches_host_path():
+    """On-device (jitted) Griffin-Lim == the host artifact loop for the
+    same magnitude and phase init (ops/griffin_lim.py vs train/artifacts.py)."""
+    from speech_masters_thesis_tpu.ops.griffin_lim import griffin_lim_jnp
+    from speech_masters_thesis_tpu.ops.stft import STFT
+
+    rng = np.random.RandomState(3)
+    stft = STFT(256, 64, 256)
+    frames, bins = 40, 129
+    mag = np.abs(rng.randn(1, frames, bins)).astype(np.float32)
+    phase0 = rng.uniform(-np.pi, np.pi, (1, frames, bins)).astype(np.float32)
+
+    # host-style loop (artifacts.griffin_lim with injected phase)
+    p = jnp.asarray(phase0)
+    m = jnp.asarray(mag)
+    for _ in range(8):
+        audio = stft.inverse(m, p)
+        real, imag = stft.real_imag(audio)
+        p = jnp.arctan2(imag, real)[:, :frames]
+    ref = np.asarray(stft.inverse(m, p))
+
+    out = np.asarray(jax.jit(
+        lambda m, p: griffin_lim_jnp(m, stft, p, n_iter=8))(m, jnp.asarray(phase0)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mel_vocoder_shapes_and_energy():
+    """make_mel_vocoder returns [B, frames*hop] audio that reconstructs a
+    tone's energy envelope (sanity: silence in -> near-silence out)."""
+    from speech_masters_thesis_tpu.ops.griffin_lim import make_mel_vocoder
+    from speech_masters_thesis_tpu.ops.stft import MelSpectrogram, mel_band_edges
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    ds = Config({"sample_rate": 22050, "n_fft": 1024, "hop_length": 256,
+                 "win_length": 1024, "n_mels": 80})
+    t = 256 * 40
+    tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(t) / 22050)).astype(np.float32)
+    silence = np.zeros(t, np.float32)
+    mel_op = MelSpectrogram(ds.sample_rate, ds.n_fft, ds.hop_length, ds.win_length,
+                            ds.n_mels, *mel_band_edges(ds))
+    log_mel = np.asarray(mel_op(jnp.asarray(np.stack([tone, silence]))))
+
+    vocode = jax.jit(make_mel_vocoder(ds, n_iter=4))
+    audio = np.asarray(vocode(jnp.asarray(log_mel), jax.random.PRNGKey(0)))
+    assert audio.shape == (2, 40 * 256)
+    # tone reconstructs with real energy; silence stays silent
+    assert np.abs(audio[0]).max() > 10 * np.abs(audio[1]).max()
+
+
+@pytest.mark.parametrize("s,k,p", [(2, 4, 1), (4, 8, 2), (2, 5, 2)])
+def test_folded_strided_conv_matches_unfolded(s, k, p):
+    """model.folded_convs reformulation is exact (default-off perf knob;
+    rejected on v5e — see BASELINE.md — but the code ships behind the knob)."""
+    from speech_masters_thesis_tpu.models.vqvae.encdec import (
+        MaskedConv1d, MaskedConvTranspose1d)
+
+    rng = np.random.RandomState(0)
+    B, T, C, F = 2, 64, 8, 16
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    lens = np.array([T, T - 14])
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))[..., None]
+
+    m0, m1 = MaskedConv1d(F, k, s, p), MaskedConv1d(F, k, s, p, folded=True)
+    v = m0.init(jax.random.PRNGKey(0), x, mask)
+    y0, _ = m0.apply(v, x, mask)
+    y1, _ = m1.apply(v, x, mask)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    if k - 2 * p == s:  # sub-pixel fold requires out_len == s*T
+        t0 = MaskedConvTranspose1d(F, k, s, p)
+        t1 = MaskedConvTranspose1d(F, k, s, p, folded=True)
+        v = t0.init(jax.random.PRNGKey(1), x, mask)
+        z0, _ = t0.apply(v, x, mask)
+        z1, _ = t1.apply(v, x, mask)
+        assert z0.shape == z1.shape == (B, s * T, F)
+        np.testing.assert_allclose(np.asarray(z0), np.asarray(z1), atol=1e-6)
