@@ -179,12 +179,40 @@ def bench_glow_tts_rtf(quick: bool = False) -> dict:
     timing.sync(infer(jax.random.fold_in(rng, 1)))
     elapsed = time.perf_counter() - start
     audio_seconds = max_frames * 256 / 22050  # full padded output
+
+    # full text->WAVEFORM path: reverse flow + on-device Griffin-Lim in ONE
+    # jitted program (ops/griffin_lim.py; VERDICT r2 item 5). The BASELINE
+    # "synthesis RTF < 0.05" target is judged on this number, not mel-only.
+    from speech_masters_thesis_tpu.ops.griffin_lim import make_mel_vocoder
+    from speech_masters_thesis_tpu.utils.config import Config as _C
+
+    vocode = make_mel_vocoder(_C({"sample_rate": 22050, "n_fft": 1024,
+                                  "hop_length": 256, "win_length": 1024,
+                                  "n_mels": 80}), n_iter=32)
+
+    @jax.jit
+    def infer_and_vocode(rng):
+        mel, z_lengths = model.apply(variables, tokens, lens, rng,
+                                     max_frames=max_frames, method=GlowTTS.infer)
+        return vocode(mel, jax.random.fold_in(rng, 7)), z_lengths
+
+    timing.sync(infer_and_vocode(rng))
+    start = time.perf_counter()
+    audio, _ = infer_and_vocode(jax.random.fold_in(rng, 2))
+    audio_host = np.asarray(audio)  # D2H of the waveform = execution barrier
+    e2e_elapsed = time.perf_counter() - start
+    assert audio_host.shape[-1] == max_frames * 256
+
     return {
         "metric": "glow_tts_mel_rtf",
         "value": round(elapsed / audio_seconds, 5),
         "frames": max_frames,
         "elapsed_s": round(elapsed, 4),
-        "note": "mel-synthesis wall-time / synthesized audio seconds (BASELINE target < 0.05)",
+        "e2e_rtf": round(e2e_elapsed / audio_seconds, 5),
+        "e2e_elapsed_s": round(e2e_elapsed, 4),
+        "gl_iters": 32,
+        "note": "mel-synthesis wall-time / synthesized audio seconds; e2e_rtf adds "
+                "on-device Griffin-Lim + waveform D2H (BASELINE target < 0.05)",
     }
 
 

@@ -35,6 +35,11 @@ def parse_args():
     parser.add_argument("--max_frames", type=int, default=1024)
     parser.add_argument("--noise_scale", type=float, default=0.667)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--vocoder", type=str, default="device",
+                        choices=["device", "host"],
+                        help="'device': Griffin-Lim inside jit (ops/griffin_lim.py); "
+                             "'host': the artifact-path numpy loop")
+    parser.add_argument("--gl_iters", type=int, default=32)
     return parser.parse_args()
 
 
@@ -73,29 +78,55 @@ def main():
     tokens = jnp.asarray(np.asarray(token_ids, np.int32)[None])
     lens = jnp.asarray([tokens.shape[1]], jnp.int32)
 
+    from speech_masters_thesis_tpu.ops.basic import safe_log
+    from speech_masters_thesis_tpu.ops.griffin_lim import make_mel_vocoder
+    from speech_masters_thesis_tpu.utils import timing
+
+    device_vocoder = args.vocoder == "device"
+    vocode = make_mel_vocoder(config.dataset, n_iter=args.gl_iters)
+
     @jax.jit
     def infer(tokens, lens, rng):
-        return model.apply(variables, tokens, lens, rng,
-                           max_frames=args.max_frames,
-                           noise_scale=args.noise_scale, method=GlowTTS.infer)
+        mel, z_lengths = model.apply(variables, tokens, lens, rng,
+                                     max_frames=args.max_frames,
+                                     noise_scale=args.noise_scale, method=GlowTTS.infer)
+        audio = None
+        if device_vocoder:
+            # silence the padded tail so Griffin-Lim doesn't bleed exp(0)=1
+            # energies into the valid region (window overlap spans ~4 frames)
+            frame = jnp.arange(mel.shape[1])[None, :, None]
+            mel_m = jnp.where(frame < z_lengths[:, None, None],
+                              mel, safe_log(jnp.zeros((), mel.dtype)))
+            audio = vocode(mel_m, jax.random.fold_in(rng, 7))
+        return mel, z_lengths, audio
 
     rng = jax.random.PRNGKey(args.seed)
-    mel, z_lengths = jax.block_until_ready(infer(tokens, lens, rng))  # compile
+    out1 = infer(tokens, lens, rng)
+    timing.sync(out1[1])  # compile + real execution barrier (axon-safe)
     start = time.perf_counter()
-    mel, z_lengths = jax.block_until_ready(infer(tokens, lens, jax.random.fold_in(rng, 1)))
+    mel, z_lengths, audio_dev = infer(tokens, lens, jax.random.fold_in(rng, 1))
+    n_frames = int(z_lengths[0])  # host read = execution barrier
     mel_elapsed = time.perf_counter() - start
 
-    n_frames = int(z_lengths[0])
     mel_np = np.asarray(mel[0, :n_frames])  # [frames, n_mels]
     audio_seconds = n_frames * config.dataset.hop_length / config.dataset.sample_rate
-    logger.info("Synthesized %d mel frames (%.2fs of audio) in %.4fs — mel RTF %.4f",
-                n_frames, audio_seconds, mel_elapsed, mel_elapsed / max(audio_seconds, 1e-6))
 
-    start = time.perf_counter()
-    audio = mel_to_audio(mel_np, config)
-    gl_elapsed = time.perf_counter() - start
-    logger.info("Griffin-Lim inversion: %.2fs (RTF %.3f, host-side artifact path)",
-                gl_elapsed, gl_elapsed / max(audio_seconds, 1e-6))
+    if device_vocoder:
+        audio = np.asarray(audio_dev)[0, :n_frames * config.dataset.hop_length]
+        e2e_elapsed = time.perf_counter() - start
+        logger.info(
+            "text->waveform on device: %d frames (%.2fs audio) in %.4fs — "
+            "end-to-end RTF %.4f (target < 0.05)",
+            n_frames, audio_seconds, e2e_elapsed,
+            e2e_elapsed / max(audio_seconds, 1e-6))
+    else:
+        logger.info("Synthesized %d mel frames (%.2fs of audio) in %.4fs — mel RTF %.4f",
+                    n_frames, audio_seconds, mel_elapsed, mel_elapsed / max(audio_seconds, 1e-6))
+        start = time.perf_counter()
+        audio = mel_to_audio(mel_np, config)
+        gl_elapsed = time.perf_counter() - start
+        logger.info("Griffin-Lim inversion: %.2fs (RTF %.3f, host-side artifact path)",
+                    gl_elapsed, gl_elapsed / max(audio_seconds, 1e-6))
 
     out = args.out or os.path.join(args.log_dir, "synthesis.wav")
     save_wav(out, np.clip(audio, -1, 1), config.dataset.sample_rate)
