@@ -14,9 +14,13 @@ from __future__ import annotations
 
 from typing import Optional
 
+import logging
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 DATA_AXIS = "data"
 
@@ -104,3 +108,23 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         num_processes=num_processes,
         process_id=process_id,
     )
+    # Establish the collective context NOW, while the processes are aligned:
+    # the backend (gloo on CPU) initializes lazily at the FIRST collective,
+    # with a ~30 s rendezvous deadline. If that first collective is the real
+    # train step, per-process skew (compiles, loaders, logdir setup) can
+    # exceed the deadline and kill rank 0 (observed driving train.py with 2
+    # CPU processes). A trivial psum here compiles in milliseconds on every
+    # process, so the rendezvous happens with near-zero skew and later
+    # collectives reuse the established context.
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    n_devices = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    barrier = jax.jit(shard_map(lambda x: jax.lax.psum(x, "data"),
+                                mesh=mesh, in_specs=P(), out_specs=P()))
+    total = float(jax.device_get(barrier(jnp.ones(()))))
+    assert total == float(n_devices), (total, n_devices)
+    logger.info("multihost collective context established over %d devices",
+                n_devices)

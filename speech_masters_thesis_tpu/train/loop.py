@@ -256,8 +256,8 @@ def val_epoch(
         for k, v in {**host_losses, **host_metrics}.items():
             losses[k] += v / n_batches
         if "y" in loss_dict and loss_dict.get("yh") is not None:
-            ys.append(np.asarray(loss_dict["y"]))
-            yhs.append(np.asarray(loss_dict["yh"]))
+            ys.append(_fetch_global(loss_dict["y"]))
+            yhs.append(_fetch_global(loss_dict["yh"]))
 
     if writer is not None:
         for k, v in losses.items():
@@ -272,6 +272,22 @@ def val_epoch(
         artifact_fn(config, epoch, writer, y, yh)
 
     return dict(losses)
+
+
+def _fetch_global(a) -> np.ndarray:
+    """np.asarray that works for batch-sharded arrays under multi-process.
+
+    Under jax.distributed each process addresses only its own shard of a
+    data-sharded array; fetching the global value (for validation artifact
+    dumps) needs an explicit allgather. Must be called in SPMD lockstep on
+    every process — val_epoch is (only the writer/artifact_fn are gated to
+    process 0, reference train.py:366-375 ran val on rank 0 alone instead).
+    """
+    if jax.process_count() > 1 and hasattr(a, "is_fully_addressable") \
+            and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
 
 
 def _pad_last(x: np.ndarray, length: int) -> np.ndarray:

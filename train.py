@@ -107,15 +107,16 @@ def build_config(args):
 def main():
     args = parse_args()
 
-    from speech_masters_thesis_tpu.parallel.mesh import initialize_multihost
-    initialize_multihost(args.multihost_coordinator, args.num_processes, args.process_id)
-
     import jax
 
     if args.platform:
         # NOTE: must be the config API; this image's TPU plugin overrides the
-        # JAX_PLATFORMS env var (see tests/conftest.py)
+        # JAX_PLATFORMS env var (see tests/conftest.py). Must run BEFORE
+        # initialize_multihost, whose collective barrier initializes backends.
         jax.config.update("jax_platforms", args.platform)
+
+    from speech_masters_thesis_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost(args.multihost_coordinator, args.num_processes, args.process_id)
     if args.prng_impl != "threefry":
         jax.config.update("jax_default_prng_impl", args.prng_impl)
     from tensorboardX import SummaryWriter
@@ -195,8 +196,11 @@ def main():
         state, global_step, epoch = restore_checkpoint(config.train.load_ckpt, state)
         logger.info("Restored checkpoint %s at step %d epoch %d",
                     config.train.load_ckpt, global_step, epoch)
-    elif ddi_ran and jax.process_index() == 0:
-        # DDI result is checkpointed as ckpt.0 (reference utils/train_utils.py:58)
+    elif ddi_ran:
+        # DDI result is checkpointed as ckpt.0 (reference utils/train_utils.py:58).
+        # Orbax saves are collective: EVERY process must call save in lockstep
+        # (orbax writes once on the primary and barriers internally); a
+        # process-0-only call desynchronizes the gloo/DCN collective stream.
         save_checkpoint(config, 0, 0, state)
 
     ema_mu = default_mu(config.train.batch_size, 1)
@@ -211,8 +215,8 @@ def main():
         artifact_fn = None
 
     def ckpt_cb(st, gs, ep):
-        if jax.process_index() == 0:
-            save_checkpoint(config, gs, ep, st)
+        # all processes call save in lockstep (orbax collective, see above)
+        save_checkpoint(config, gs, ep, st)
 
     if config.train.run_sanity_val_epoch:
         logger.info("Running sanity val epoch")
@@ -242,8 +246,7 @@ def main():
         # (reference train.py:454-458 catches KeyboardInterrupt per rank)
         logger.info("Interrupted at step %d; saving final checkpoint", global_step)
 
-    if jax.process_index() == 0:
-        save_checkpoint(config, global_step, -1, state)
+    save_checkpoint(config, global_step, -1, state)
     if writer is not None:
         writer.close()
 
