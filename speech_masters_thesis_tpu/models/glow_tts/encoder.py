@@ -137,14 +137,41 @@ class FlowSpecDecoder(nn.Module):
             x, x_mask = squeeze(x, x_mask, self.n_sqz)
 
         logdet_tot = 0.0 if not reverse else None
-        flows = self.flows if not reverse else list(reversed(self.flows))
-        for f in flows:
-            if isinstance(f, CouplingBlock):
-                x, logdet = f(x, x_mask, g=g, reverse=reverse, ddi=ddi, train=train)
-            else:
-                x, logdet = f(x, x_mask, g=g, reverse=reverse, ddi=ddi)
-            if not reverse:
-                logdet_tot += logdet
+
+        # One fused Pallas kernel per WHOLE flow step (actnorm -> invconv ->
+        # coupling conditioner; ops/pallas/wn_coupling.py:fused_flow_step).
+        # The per-layer logdets are computed here from params/lengths with
+        # the exact expressions of the unfused layers.
+        fused_step = (self.fused and not reverse and not ddi and g is None
+                      and x.shape[1] <= 768)
+        if fused_step and train and self.p_dropout > 0 \
+                and jax.default_backend() != "tpu":
+            fused_step = False  # in-kernel dropout needs the TPU hardware PRNG
+        if fused_step:
+            c = self.in_channels * self.n_sqz
+            x_len = jnp.sum(x_mask[:, :, 0], axis=1)            # [B]
+            for bi in range(self.n_blocks):
+                f_a, f_i, f_c = (self.flows[3 * bi], self.flows[3 * bi + 1],
+                                 self.flows[3 * bi + 2])
+                aln = f_a.logs.astype(x.dtype)
+                mt = f_i.dense_matrix_t(x.dtype)
+                x, logdet_c = f_c(x, x_mask, train=train,
+                                  prefix=(aln, f_a.bias.astype(x.dtype), mt))
+                # ActNorm logdet (flows.py:ActNorm) + InvConvNear logdet
+                # (flows.py:InvConvNear; det > 0 by QR construction)
+                _, slogdet = jnp.linalg.slogdet(f_i.weight.astype(jnp.float32))
+                logdet_tot += (jnp.sum(aln) * x_len
+                               + slogdet * (c / self.n_split) * x_len.astype(jnp.float32)
+                               + logdet_c)
+        else:
+            flows = self.flows if not reverse else list(reversed(self.flows))
+            for f in flows:
+                if isinstance(f, CouplingBlock):
+                    x, logdet = f(x, x_mask, g=g, reverse=reverse, ddi=ddi, train=train)
+                else:
+                    x, logdet = f(x, x_mask, g=g, reverse=reverse, ddi=ddi)
+                if not reverse:
+                    logdet_tot += logdet
 
         if self.n_sqz > 1:
             x, x_mask = unsqueeze(x, x_mask, self.n_sqz)

@@ -65,16 +65,22 @@ class WNConv1d(nn.Module):
 
 
 class ActNorm(nn.Module):
-    """Per-channel affine with DDI (reference submodules.py:241-286)."""
+    """Per-channel affine with DDI (reference submodules.py:241-286).
+
+    setup-style so the fused flow-step path (encoder.py/FlowSpecDecoder) can
+    read the params without running the layer."""
 
     channels: int
 
-    @nn.compact
+    def setup(self):
+        self.logs = self.param("logs", nn.initializers.zeros, (self.channels,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+
     def __call__(self, x, mask=None, g=None, reverse: bool = False, ddi: bool = False):
         if mask is None:
             mask = jnp.ones((x.shape[0], x.shape[1], 1), x.dtype)
-        logs = self.param("logs", nn.initializers.zeros, (self.channels,))
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        logs = self.logs
+        bias = self.bias
 
         if ddi:
             # masked per-channel mean/var of the incoming activations
@@ -99,26 +105,55 @@ class ActNorm(nn.Module):
         return z, logdet
 
 
+def _invconv_qr_init(key, shape):
+    w = jax.random.normal(key, shape)
+    q = jnp.linalg.qr(w)[0]
+    # fix determinant sign to +1
+    q = jnp.where(jnp.linalg.det(q) < 0, q.at[:, 0].multiply(-1.0), q)
+    return q
+
+
+def _invconv_group_indices(c: int, s: int):
+    """Static (group-slot, group-position) of each channel under the
+    reference's (2, c//s, s//2) regrouping (submodules.py:312-313)."""
+    j = np.arange(c)
+    u = j // (c // 2)
+    rem = j % (c // 2)
+    v = rem // (s // 2)
+    w = rem % (s // 2)
+    return u * (s // 2) + w, v
+
+
 class InvConvNear(nn.Module):
-    """Invertible grouped 1x1 conv over n_split-sized channel groups."""
+    """Invertible grouped 1x1 conv over n_split-sized channel groups.
+
+    setup-style so the fused flow-step path can read ``weight`` and build
+    the dense channel-mix matrix without running the layer."""
 
     channels: int
     n_split: int = 4
     no_jacobian: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.weight = self.param("weight", _invconv_qr_init,
+                                 (self.n_split, self.n_split))
+
+    def dense_matrix_t(self, dtype) -> jnp.ndarray:
+        """[C, C] dense equivalent TRANSPOSED: invconv(x) == x @ M^T.
+
+        M[i, j] = weight[g(i), g(j)] when channels i, j share a group
+        position, else 0. Built by (differentiable) gather so the fused
+        kernel's cotangent on M flows back to the 4x4 weight by autodiff.
+        """
+        g, v = _invconv_group_indices(self.channels, self.n_split)
+        m = self.weight[g[:, None], g[None, :]] \
+            * jnp.asarray(v[:, None] == v[None, :], self.weight.dtype)
+        return m.T.astype(dtype)
+
     def __call__(self, x, mask=None, g=None, reverse: bool = False, ddi: bool = False):
         b, t, c = x.shape
         assert c % self.n_split == 0
-
-        def qr_init(key, shape):
-            w = jax.random.normal(key, shape)
-            q = jnp.linalg.qr(w)[0]
-            # fix determinant sign to +1
-            q = jnp.where(jnp.linalg.det(q) < 0, q.at[:, 0].multiply(-1.0), q)
-            return q
-
-        weight = self.param("weight", qr_init, (self.n_split, self.n_split))
+        weight = self.weight
 
         if mask is None:
             mask = jnp.ones((b, t, 1), x.dtype)
@@ -258,22 +293,31 @@ class CouplingBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, g=None, reverse: bool = False,
-                 ddi: bool = False, train: bool = True):
+                 ddi: bool = False, train: bool = True, prefix=None):
+        """prefix=(actnorm_logs, actnorm_bias, invconv_mt): run the WHOLE
+        flow step (ActNorm -> InvConvNear -> coupling) as one fused Pallas
+        kernel (ops/pallas/wn_coupling.py:fused_flow_step). Only the decoder
+        passes this, and only when the fused conditions hold."""
         if mask is None:
             mask = 1.0
         half = self.in_channels // 2
-        x_0, x_1 = x[..., :half], x[..., half:]
 
-        use_fused = (self.fused and g is None and x.shape[1] <= self.fused_max_t)
-        if use_fused and train and self.p_dropout > 0 \
-                and jax.default_backend() != "tpu":
-            # the fused kernel's dropout needs the TPU hardware PRNG (no
-            # interpret-mode lowering); train-mode falls back off-TPU
-            use_fused = False
-        if use_fused:
-            out = self._fused_conditioner(x_0, mask, train)
+        if prefix is not None:
+            assert not reverse and g is None
+            xc, out = self._fused_flow_step(x, mask, prefix, train)
+            x_0, x_1 = xc[..., :half], xc[..., half:]
         else:
-            out = self._flax_conditioner(x_0, mask, g, train)
+            x_0, x_1 = x[..., :half], x[..., half:]
+            use_fused = (self.fused and g is None and x.shape[1] <= self.fused_max_t)
+            if use_fused and train and self.p_dropout > 0 \
+                    and jax.default_backend() != "tpu":
+                # the fused kernel's dropout needs the TPU hardware PRNG (no
+                # interpret-mode lowering); train-mode falls back off-TPU
+                use_fused = False
+            if use_fused:
+                out = self._fused_conditioner(x_0, mask, train)
+            else:
+                out = self._flax_conditioner(x_0, mask, g, train)
 
         m = out[..., :half]
         logs = out[..., half:]
@@ -297,6 +341,51 @@ class CouplingBlock(nn.Module):
         # zero-init end conv: coupling starts as identity (submodules.py:365-370)
         return nn.Conv(self.in_channels, (1,), kernel_init=nn.initializers.zeros,
                        bias_init=nn.initializers.zeros, name="end")(h)
+
+    def _fused_flow_step(self, x, mask, prefix, train):
+        """ActNorm + InvConvNear + conditioner as ONE Pallas kernel.
+
+        Returns (xc, out): the invconv output (for the affine/passthrough)
+        and the conditioner output. Param trees: the prefix params belong to
+        the sibling ActNorm/InvConvNear modules (the decoder reads them);
+        the conditioner params are declared here exactly as in
+        _fused_conditioner (checkpoints interchangeable with every path).
+        """
+        from speech_masters_thesis_tpu.ops.pallas.wn_coupling import (
+            WNSpec, apply_fused_flow_step)
+
+        aln, alb, mt = prefix
+        B, T, _ = x.shape
+        ks, bs_ = WNConv1d(self.hidden_channels, 1, name="start")(
+            in_features=self.in_channels // 2, return_params=True)
+        ws, bs = ks[0], bs_[None]
+        wins, bins, wrss, brss = _WNParams(
+            self.hidden_channels, self.kernel_size, self.n_layers, name="wn")()
+        wend, bend = _EndConvParams(self.in_channels, name="end")(self.hidden_channels)
+
+        p = self.p_dropout if train else 0.0
+        if p > 0.0:
+            seed_bits = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            seed_f32 = jax.lax.bitcast_convert_type(seed_bits, jnp.float32)
+        else:
+            seed_f32 = jnp.float32(0.0)
+
+        if isinstance(mask, (int, float)):
+            lens = jnp.full((B,), T, jnp.int32)
+        else:
+            lens = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+
+        spec = WNSpec(
+            half=self.in_channels // 2, hidden=self.hidden_channels,
+            out_channels=self.in_channels, kernel_size=self.kernel_size,
+            dilation_rate=self.dilation_rate, n_layers=self.n_layers,
+            p_drop=float(p), interpret=jax.default_backend() != "tpu",
+        )
+        return apply_fused_flow_step(
+            spec, seed_f32, lens, x,
+            aln.reshape(1, -1).astype(x.dtype), alb.reshape(1, -1).astype(x.dtype),
+            mt.astype(x.dtype), ws, bs, tuple(wins), tuple(bins),
+            tuple(wrss), tuple(brss), wend, bend)
 
     def _fused_conditioner(self, x_0, mask, train):
         """One Pallas kernel for start + WN + end (ops/pallas/wn_coupling.py).

@@ -179,42 +179,29 @@ def _fwd_kernel(spec: WNSpec, T: int, dot_dtype,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(spec: WNSpec, T: int, dot_dtype,
-                seed_ref, lens_ref, x0_ref, g_ref, ws_ref, bs_ref, *rest):
-    H, k, L = spec.hidden, spec.kernel_size, spec.n_layers
-    wins, bins = rest[0:L], rest[L:2 * L]
-    wrss = rest[2 * L:3 * L]
-    wend_ref = rest[4 * L]
-    outs = rest[4 * L + 2:]
-    (dx0_ref, dws_ref, dbs_ref) = outs[0:3]
-    dwins, dbins = outs[3:3 + L], outs[3 + L:3 + 2 * L]
-    dwrss, dbrss = outs[3 + 2 * L:3 + 3 * L], outs[3 + 3 * L:3 + 4 * L]
-    dwend_ref, dbend_ref = outs[3 + 4 * L], outs[3 + 4 * L + 1]
-    xs_scr, xin_scr = outs[3 + 4 * L + 2], outs[3 + 4 * L + 3]
+def _conditioner_bwd(spec: WNSpec, T: int, dot_dtype, seed, b, length, x0,
+                     ws, bs, wins, bins, wrss, brss, wend, dout,
+                     xs_scr, xin_scr):
+    """Recompute-forward + backward of the conditioner for one sequence.
 
-    b = pl.program_id(0)
-    seed = seed_ref[0]
-    first = b == 0
-    x0 = x0_ref[0]
-    length = lens_ref[b]
+    Returns (dx0 [T, half] f32, acc dict of weight-grad contributions,
+    valid mask). Shared by the conditioner-only and flow-step kernels.
+    """
+    H, k, L = spec.hidden, spec.kernel_size, spec.n_layers
 
     # ---- recompute forward, saving per-layer inputs and gated pre-acts ----
     save = {"xs": xs_scr, "xin": xin_scr}
     valid, skip = _forward_body(
         spec, T, dot_dtype, seed, b, length, x0,
-        ws_ref[...], bs_ref[...],
-        [w[...] for w in wins], [bb[...] for bb in bins],
-        [w[...] for w in wrss], [bb[...] for bb in rest[3 * L:4 * L]],
-        save=save)
+        ws, bs, wins, bins, wrss, brss, save=save)
 
-    dout = g_ref[0].astype(jnp.float32)
+    acc = {}
     h_end = skip * valid
-    dwend_c = _dot(h_end.T, dout, dot_dtype)
-    dbend_c = jnp.sum(dout, axis=0, keepdims=True)
-    dskip = _dot(dout, wend_ref[...].T, dot_dtype) * valid
+    acc["dwend"] = _dot(h_end.T, dout, dot_dtype)
+    acc["dbend"] = jnp.sum(dout, axis=0, keepdims=True)
+    dskip = _dot(dout, wend.T, dot_dtype) * valid
 
     dx_next = jnp.zeros((T, H), jnp.float32)
-    acc = {}
     for i in reversed(range(L)):
         x_i = xs_scr[i]
         x_in = xin_scr[i]
@@ -230,7 +217,7 @@ def _bwd_kernel(spec: WNSpec, T: int, dot_dtype,
             dx_i = jnp.zeros((T, H), jnp.float32)
         acc[f"dwrs{i}"] = _dot(acts.T, drs, dot_dtype)
         acc[f"dbrs{i}"] = jnp.sum(drs, axis=0, keepdims=True)
-        dacts = _dot(drs, wrss[i][...].T, dot_dtype)
+        dacts = _dot(drs, wrss[i].T, dot_dtype)
         dxin = jnp.concatenate(
             [dacts * s * (1.0 - t * t), dacts * t * s * (1.0 - s)], axis=1)
         if spec.p_drop > 0.0:
@@ -245,38 +232,168 @@ def _bwd_kernel(spec: WNSpec, T: int, dot_dtype,
             dk_taps.append(_dot(xip[j * dil:j * dil + T].T, dxin, dot_dtype))
         acc[f"dwin{i}"] = jnp.stack(dk_taps, axis=0)
         acc[f"dbin{i}"] = jnp.sum(dxin, axis=0, keepdims=True)
-        dx_i = dx_i + _dconv_t(dxin, wins[i][...], k, dil, dot_dtype)
+        dx_i = dx_i + _dconv_t(dxin, wins[i], k, dil, dot_dtype)
         dx_next = dx_i
 
     dh = dx_next * valid
-    dws_c = _dot(x0.T, dh, dot_dtype)
-    dbs_c = jnp.sum(dh, axis=0, keepdims=True)
-    dx0 = _dot(dh, ws_ref[...].T, dot_dtype)
-    dx0_ref[0] = dx0.astype(dx0_ref.dtype)
+    acc["dws"] = _dot(x0.T, dh, dot_dtype)
+    acc["dbs"] = jnp.sum(dh, axis=0, keepdims=True)
+    dx0 = _dot(dh, ws.T, dot_dtype)
+    return dx0, acc, valid
 
+
+def _accumulate(first, refs: dict, acc: dict):
+    """First grid step initializes the f32 accumulators, later ones add."""
     @pl.when(first)
     def _():
-        dws_ref[...] = dws_c
-        dbs_ref[...] = dbs_c
-        dwend_ref[...] = dwend_c
-        dbend_ref[...] = dbend_c
-        for i in range(L):
-            dwins[i][...] = acc[f"dwin{i}"]
-            dbins[i][...] = acc[f"dbin{i}"]
-            dwrss[i][...] = acc[f"dwrs{i}"]
-            dbrss[i][...] = acc[f"dbrs{i}"]
+        for key, ref in refs.items():
+            ref[...] = acc[key]
 
     @pl.when(jnp.logical_not(first))
     def _():
-        dws_ref[...] = dws_ref[...] + dws_c
-        dbs_ref[...] = dbs_ref[...] + dbs_c
-        dwend_ref[...] = dwend_ref[...] + dwend_c
-        dbend_ref[...] = dbend_ref[...] + dbend_c
-        for i in range(L):
-            dwins[i][...] = dwins[i][...] + acc[f"dwin{i}"]
-            dbins[i][...] = dbins[i][...] + acc[f"dbin{i}"]
-            dwrss[i][...] = dwrss[i][...] + acc[f"dwrs{i}"]
-            dbrss[i][...] = dbrss[i][...] + acc[f"dbrs{i}"]
+        for key, ref in refs.items():
+            ref[...] = ref[...] + acc[key]
+
+
+def _bwd_kernel(spec: WNSpec, T: int, dot_dtype,
+                seed_ref, lens_ref, x0_ref, g_ref, ws_ref, bs_ref, *rest):
+    L = spec.n_layers
+    wins, bins = rest[0:L], rest[L:2 * L]
+    wrss, brss = rest[2 * L:3 * L], rest[3 * L:4 * L]
+    wend_ref = rest[4 * L]
+    outs = rest[4 * L + 2:]
+    (dx0_ref, dws_ref, dbs_ref) = outs[0:3]
+    dwins, dbins = outs[3:3 + L], outs[3 + L:3 + 2 * L]
+    dwrss, dbrss = outs[3 + 2 * L:3 + 3 * L], outs[3 + 3 * L:3 + 4 * L]
+    dwend_ref, dbend_ref = outs[3 + 4 * L], outs[3 + 4 * L + 1]
+    xs_scr, xin_scr = outs[3 + 4 * L + 2], outs[3 + 4 * L + 3]
+
+    b = pl.program_id(0)
+    seed = seed_ref[0]
+    first = b == 0
+    dout = g_ref[0].astype(jnp.float32)
+
+    dx0, acc, _ = _conditioner_bwd(
+        spec, T, dot_dtype, seed, b, lens_ref[b], x0_ref[0],
+        ws_ref[...], bs_ref[...],
+        [w[...] for w in wins], [bb[...] for bb in bins],
+        [w[...] for w in wrss], [bb[...] for bb in brss],
+        wend_ref[...], dout, xs_scr, xin_scr)
+    dx0_ref[0] = dx0.astype(dx0_ref.dtype)
+
+    refs = {"dws": dws_ref, "dbs": dbs_ref, "dwend": dwend_ref, "dbend": dbend_ref}
+    for i in range(L):
+        refs[f"dwin{i}"] = dwins[i]
+        refs[f"dbin{i}"] = dbins[i]
+        refs[f"dwrs{i}"] = dwrss[i]
+        refs[f"dbrs{i}"] = dbrss[i]
+    _accumulate(first, refs, acc)
+
+
+# ---------------------------------------------------------------------------
+# flow-step variant: ActNorm + InvConvNear fused IN FRONT of the conditioner
+# ---------------------------------------------------------------------------
+#
+# One Glow flow step is actnorm -> invconv -> coupling (reference
+# modules.py:168-183). The conditioner kernel above already holds the whole
+# squeezed sequence in VMEM; the two layers in front of it are a per-channel
+# affine and a [C, C] channel mix — a few extra VPU ops and one MXU dot per
+# sequence. Fusing them removes, per block: the ActNorm/InvConvNear HLO
+# fusions, the grouped-conv reshape/transpose "data formatting" chains
+# (Mosaic never sees them — the group structure is baked into a DENSE [C, C]
+# matrix built in XLA from the 4x4 weight, so grads flow to the weight by
+# autodiff through that construction), and two full HBM round trips of the
+# activations. The logdet terms stay in XLA: actnorm/invconv logdets are
+# pure functions of params and lengths; the coupling affine consumes the
+# kernel's xc output exactly as the unfused path consumes InvConvNear's.
+#
+# Forward returns BOTH xc (the invconv output the affine needs) and the
+# conditioner output; backward takes both cotangents.
+
+
+def _fwd_flow_kernel(spec: WNSpec, T: int, dot_dtype,
+                     seed_ref, lens_ref, x_ref, aln_ref, alb_ref, mt_ref,
+                     ws_ref, bs_ref, *rest):
+    L = spec.n_layers
+    wins, bins = rest[0:L], rest[L:2 * L]
+    wrss, brss = rest[2 * L:3 * L], rest[3 * L:4 * L]
+    wend_ref, bend_ref = rest[4 * L], rest[4 * L + 1]
+    xc_ref, out_ref = rest[4 * L + 2], rest[4 * L + 3]
+
+    b = pl.program_id(0)
+    seed = seed_ref[0]
+    half = spec.half
+    valid = _valid(T, lens_ref[b])
+    x = x_ref[0].astype(jnp.float32)
+    ex = jnp.exp(aln_ref[...].astype(jnp.float32))            # [1, C]
+    x1 = (alb_ref[...].astype(jnp.float32) + ex * x) * valid  # actnorm
+    xc = _dot(x1, mt_ref[...], dot_dtype)                     # invconv (dense)
+    xc_ref[0] = xc.astype(xc_ref.dtype)
+
+    x0 = xc[:, :half]
+    _, skip = _forward_body(
+        spec, T, dot_dtype, seed, b, lens_ref[b], x0,
+        ws_ref[...], bs_ref[...],
+        [w[...] for w in wins], [bb[...] for bb in bins],
+        [w[...] for w in wrss], [bb[...] for bb in brss])
+    out = _dot((skip * valid), wend_ref[...], dot_dtype) + bend_ref[...].astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _bwd_flow_kernel(spec: WNSpec, T: int, dot_dtype,
+                     seed_ref, lens_ref, x_ref, gxc_ref, gout_ref,
+                     aln_ref, alb_ref, mt_ref, ws_ref, bs_ref, *rest):
+    L = spec.n_layers
+    wins, bins = rest[0:L], rest[L:2 * L]
+    wrss, brss = rest[2 * L:3 * L], rest[3 * L:4 * L]
+    wend_ref = rest[4 * L]
+    outs = rest[4 * L + 2:]
+    (dx_ref, daln_ref, dalb_ref, dmt_ref, dws_ref, dbs_ref) = outs[0:6]
+    dwins, dbins = outs[6:6 + L], outs[6 + L:6 + 2 * L]
+    dwrss, dbrss = outs[6 + 2 * L:6 + 3 * L], outs[6 + 3 * L:6 + 4 * L]
+    dwend_ref, dbend_ref = outs[6 + 4 * L], outs[6 + 4 * L + 1]
+    xs_scr, xin_scr = outs[6 + 4 * L + 2], outs[6 + 4 * L + 3]
+
+    b = pl.program_id(0)
+    seed = seed_ref[0]
+    first = b == 0
+    half = spec.half
+    valid = _valid(T, lens_ref[b])
+
+    # ---- recompute the prefix ----
+    x = x_ref[0].astype(jnp.float32)
+    ex = jnp.exp(aln_ref[...].astype(jnp.float32))
+    x1 = (alb_ref[...].astype(jnp.float32) + ex * x) * valid
+    xc = _dot(x1, mt_ref[...], dot_dtype)
+    x0 = xc[:, :half]
+
+    # ---- conditioner backward (recompute inside) ----
+    dout = gout_ref[0].astype(jnp.float32)
+    dx0, acc, _ = _conditioner_bwd(
+        spec, T, dot_dtype, seed, b, lens_ref[b], x0,
+        ws_ref[...], bs_ref[...],
+        [w[...] for w in wins], [bb[...] for bb in bins],
+        [w[...] for w in wrss], [bb[...] for bb in brss],
+        wend_ref[...], dout, xs_scr, xin_scr)
+
+    # ---- prefix backward ----
+    gxc = gxc_ref[0].astype(jnp.float32) * valid
+    dxc = jnp.concatenate([gxc[:, :half] + dx0, gxc[:, half:]], axis=1)
+    acc["dmt"] = _dot(x1.T, dxc, dot_dtype)                   # xc = x1 @ mt
+    dx1 = _dot(dxc, mt_ref[...].T, dot_dtype)
+    acc["daln"] = jnp.sum(dx1 * ex * x * valid, axis=0, keepdims=True)
+    acc["dalb"] = jnp.sum(dx1 * valid, axis=0, keepdims=True)
+    dx_ref[0] = (dx1 * ex * valid).astype(dx_ref.dtype)
+
+    refs = {"daln": daln_ref, "dalb": dalb_ref, "dmt": dmt_ref,
+            "dws": dws_ref, "dbs": dbs_ref,
+            "dwend": dwend_ref, "dbend": dbend_ref}
+    for i in range(L):
+        refs[f"dwin{i}"] = dwins[i]
+        refs[f"dbin{i}"] = dbins[i]
+        refs[f"dwrs{i}"] = dwrss[i]
+        refs[f"dbrs{i}"] = dbrss[i]
+    _accumulate(first, refs, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +491,178 @@ def _bwd(spec: WNSpec, seed, lens, x0, g, ws, bs, wins, bins, wrss, brss, wend, 
         interpret=spec.interpret,
     )(seed, lens, x0, g, ws, bs, *wins, *bins, *wrss, *brss, wend, bend)
     return outs
+
+
+def _flow_flops(spec: WNSpec, B: int, T: int, bwd: bool) -> pl.CostEstimate:
+    base = _flops(spec, B, T, bwd)
+    C = spec.out_channels
+    extra = B * T * 2 * C * C                                 # dense invconv
+    if bwd:
+        extra *= 3
+    return pl.CostEstimate(flops=base.flops + extra,
+                           transcendentals=base.transcendentals,
+                           bytes_accessed=base.bytes_accessed)
+
+
+def _fwd_flow(spec: WNSpec, seed, lens, x, aln, alb, mt,
+              ws, bs, wins, bins, wrss, brss, wend, bend):
+    B, T, C = x.shape
+    L = spec.n_layers
+    dot_dtype = x.dtype
+    outs = pl.pallas_call(
+        functools.partial(_fwd_flow_kernel, spec, T, dot_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[_row_spec(T, C)] + _weight_specs(3 + 2 + 4 * L + 2),
+            out_specs=(_row_spec(T, C), _row_spec(T, spec.out_channels)),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((B, T, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, T, spec.out_channels), x.dtype)),
+        cost_estimate=_flow_flops(spec, B, T, bwd=False),
+        interpret=spec.interpret,
+    )(seed, lens, x, aln, alb, mt, ws, bs, *wins, *bins, *wrss, *brss, wend, bend)
+    return outs
+
+
+def _bwd_flow(spec: WNSpec, seed, lens, x, g_xc, g_out, aln, alb, mt,
+              ws, bs, wins, bins, wrss, brss, wend, bend):
+    B, T, C = x.shape
+    H, L = spec.hidden, spec.n_layers
+    dot_dtype = x.dtype
+    f32 = jnp.float32
+    out_shape = (
+        jax.ShapeDtypeStruct((B, T, C), x.dtype),                        # dx
+        jax.ShapeDtypeStruct(aln.shape, f32),
+        jax.ShapeDtypeStruct(alb.shape, f32),
+        jax.ShapeDtypeStruct(mt.shape, f32),
+        jax.ShapeDtypeStruct(ws.shape, f32),
+        jax.ShapeDtypeStruct(bs.shape, f32),
+        *[jax.ShapeDtypeStruct(w.shape, f32) for w in wins],
+        *[jax.ShapeDtypeStruct(b_.shape, f32) for b_ in bins],
+        *[jax.ShapeDtypeStruct(w.shape, f32) for w in wrss],
+        *[jax.ShapeDtypeStruct(b_.shape, f32) for b_ in brss],
+        jax.ShapeDtypeStruct(wend.shape, f32),
+        jax.ShapeDtypeStruct(bend.shape, f32),
+    )
+    acc = lambda shape: pl.BlockSpec(shape, lambda b, *_: tuple(0 for _ in shape),
+                                     memory_space=pltpu.VMEM)
+    out_specs = (
+        _row_spec(T, C),
+        acc(aln.shape), acc(alb.shape), acc(mt.shape),
+        acc(ws.shape), acc(bs.shape),
+        *[acc(w.shape) for w in wins],
+        *[acc(b_.shape) for b_ in bins],
+        *[acc(w.shape) for w in wrss],
+        *[acc(b_.shape) for b_ in brss],
+        acc(wend.shape), acc(bend.shape),
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_flow_kernel, spec, T, dot_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[_row_spec(T, C), _row_spec(T, C),
+                      _row_spec(T, spec.out_channels)]
+            + _weight_specs(3 + 2 + 4 * L + 2),
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((L, T, H), f32),       # per-layer inputs
+                pltpu.VMEM((L, T, 2 * H), f32),   # per-layer post-dropout conv outs
+            ],
+        ),
+        out_shape=out_shape,
+        cost_estimate=_flow_flops(spec, B, T, bwd=True),
+        interpret=spec.interpret,
+    )(seed, lens, x, g_xc, g_out, aln, alb, mt, ws, bs,
+      *wins, *bins, *wrss, *brss, wend, bend)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_flow_step(spec: WNSpec, seed_f32, lens, x, aln, alb, mt,
+                    ws, bs, wins, bins, wrss, brss, wend, bend):
+    """(xc, cond_out) = flow-step prefix + conditioner; see section comment.
+
+    x: [B, T, C] squeezed activations entering the flow step.
+    aln/alb: [1, C] ActNorm logs/bias. mt: [C, C] dense InvConvNear matrix
+    TRANSPOSED (xc = actnorm(x) @ mt), built in XLA from the 4x4 weight so
+    its cotangent flows back to the weight by autodiff.
+    Returns xc (the invconv output, which the affine coupling consumes) and
+    the conditioner output.
+    """
+    seed = jax.lax.bitcast_convert_type(seed_f32, jnp.int32).reshape((1,))
+    return _fwd_flow(spec, seed, lens, x, aln, alb, mt,
+                     ws, bs, wins, bins, wrss, brss, wend, bend)
+
+
+def _flow_vjp_fwd(spec, seed_f32, lens, x, aln, alb, mt,
+                  ws, bs, wins, bins, wrss, brss, wend, bend):
+    outs = fused_flow_step(spec, seed_f32, lens, x, aln, alb, mt,
+                           ws, bs, wins, bins, wrss, brss, wend, bend)
+    return outs, (seed_f32, lens, x, aln, alb, mt,
+                  ws, bs, wins, bins, wrss, brss, wend, bend)
+
+
+def _flow_vjp_bwd(spec, residuals, gs):
+    (seed_f32, lens, x, aln, alb, mt,
+     ws, bs, wins, bins, wrss, brss, wend, bend) = residuals
+    g_xc, g_out = gs
+    seed = jax.lax.bitcast_convert_type(seed_f32, jnp.int32).reshape((1,))
+    L = spec.n_layers
+    outs = _bwd_flow(spec, seed, lens, x, g_xc.astype(x.dtype),
+                     g_out.astype(x.dtype), aln, alb, mt,
+                     ws, bs, wins, bins, wrss, brss, wend, bend)
+    (dx, daln, dalb, dmt, dws, dbs) = outs[0:6]
+    dwins = outs[6:6 + L]
+    dbins = outs[6 + L:6 + 2 * L]
+    dwrss = outs[6 + 2 * L:6 + 3 * L]
+    dbrss = outs[6 + 3 * L:6 + 4 * L]
+    dwend, dbend = outs[6 + 4 * L], outs[6 + 4 * L + 1]
+
+    cast = lambda v, like: v.astype(like.dtype)
+    return (jnp.zeros_like(seed_f32), jnp.zeros_like(lens),
+            cast(dx, x), cast(daln, aln), cast(dalb, alb), cast(dmt, mt),
+            cast(dws, ws), cast(dbs, bs),
+            tuple(cast(a, b) for a, b in zip(dwins, wins)),
+            tuple(cast(a, b) for a, b in zip(dbins, bins)),
+            tuple(cast(a, b) for a, b in zip(dwrss, wrss)),
+            tuple(cast(a, b) for a, b in zip(dbrss, brss)),
+            cast(dwend, wend), cast(dbend, bend))
+
+
+fused_flow_step.defvjp(_flow_vjp_fwd, _flow_vjp_bwd)
+
+
+def apply_fused_flow_step(spec: WNSpec, seed_f32, lens, x, aln, alb, mt,
+                          ws, bs, wins, bins, wrss, brss, wend, bend):
+    """SPMD-composing entry point (same pattern as apply_fused_wn_coupling)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    axis = "data"
+    if mesh is None or axis not in getattr(mesh, "axis_names", ()) \
+            or mesh.shape[axis] <= 1 or x.shape[0] % mesh.shape[axis] != 0:
+        return fused_flow_step(spec, seed_f32, lens, x, aln, alb, mt,
+                               ws, bs, wins, bins, wrss, brss, wend, bend)
+
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(seed_s, lens_s, x_s, aln, alb, mt,
+                  ws, bs, wins, bins, wrss, brss, wend, bend):
+        bits = jax.lax.bitcast_convert_type(seed_s, jnp.int32)
+        bits = bits + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(1640531527)
+        seed_mixed = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        return fused_flow_step(spec, seed_mixed, lens_s, x_s, aln, alb, mt,
+                               ws, bs, wins, bins, wrss, brss, wend, bend)
+
+    rep = P()
+    return jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(rep, P(axis), P(axis), rep, rep, rep, rep, rep, rep, rep,
+                  rep, rep, rep, rep),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )(seed_f32, lens, x, aln, alb, mt, ws, bs, wins, bins, wrss, brss, wend, bend)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

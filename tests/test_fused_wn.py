@@ -253,3 +253,42 @@ def test_glow_model_fused_forward_matches():
                                     method=model_fus.supervised_step)
     np.testing.assert_allclose(float(ld_ref["loss"]), float(ld_fus["loss"]),
                                rtol=1e-4)
+
+
+def test_fused_flow_step_matches_unfused_decoder():
+    """fused flow-step kernel (ActNorm+InvConvNear+conditioner in one Pallas
+    call, interpret mode on CPU): forward, logdet and every grad match the
+    unfused FlowSpecDecoder within f32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from speech_masters_thesis_tpu.models.glow_tts.encoder import FlowSpecDecoder
+
+    B, T, C = 2, 32, 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    lens = np.array([32, 24])
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))[..., None]
+
+    kw = dict(in_channels=C, hidden_channels=16, kernel_size=3, dilation_rate=1,
+              n_blocks=2, n_layers=2, p_dropout=0.0, n_split=4, n_sqz=2)
+    dec0 = FlowSpecDecoder(fused=False, **kw)
+    dec1 = FlowSpecDecoder(fused=True, **kw)
+    v = dec0.init({"params": jax.random.PRNGKey(0)}, x, mask, train=False)
+    z0, ld0 = dec0.apply(v, x, mask, train=False)
+    z1, ld1 = dec1.apply(v, x, mask, train=False)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ld0), np.asarray(ld1), atol=2e-5)
+
+    def loss(variables, dec):
+        z, ld = dec.apply(variables, x, mask, train=False)
+        return jnp.sum(z ** 2) - jnp.mean(ld)
+
+    g0 = jax.grad(loss)(v, dec0)
+    g1 = jax.grad(loss)(v, dec1)
+    errs = jtu.tree_map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    scale = jtu.tree_map(lambda a: float(jnp.max(jnp.abs(a))) + 1.0, g0)
+    rel = max(jtu.tree_leaves(jtu.tree_map(lambda e, s: e / s, errs, scale)))
+    assert rel < 5e-5, (rel, errs)

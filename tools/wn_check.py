@@ -105,5 +105,79 @@ def main():
     print("WN COUPLING CHECKS OK")
 
 
+def check_flow_step():
+    """Flow-step kernel (ActNorm + dense InvConvNear + conditioner in ONE
+    Pallas call, ops/pallas/wn_coupling.py:fused_flow_step) vs the unfused
+    FlowSpecDecoder, on hardware at the shipped Glow-TTS decoder scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_masters_thesis_tpu.models.glow_tts.encoder import FlowSpecDecoder
+
+    B, T, C = 4, 768, 80   # pre-squeeze mel frames; squeezed T=384, C=160
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.normal(size=(B, T, C)).astype(np.float32))
+    lens = np.array([T, T - 100, T // 2, T - 2])
+    mask = jnp.asarray((np.arange(T)[None, :] < lens[:, None])
+                       .astype(np.float32)[..., None])
+
+    kw = dict(in_channels=C, hidden_channels=192, kernel_size=5, dilation_rate=1,
+              n_blocks=12, n_layers=4, p_dropout=0.05, n_split=4, n_sqz=2)
+    dec0 = FlowSpecDecoder(fused=False, **kw)
+    dec1 = FlowSpecDecoder(fused=True, **kw)
+    v = dec0.init({"params": jax.random.PRNGKey(0)}, x, mask, train=False)
+
+    with jax.default_matmul_precision("highest"):
+        z_hi, ld_hi = jax.jit(lambda v, xx: dec0.apply(v, xx, mask, train=False))(v, x)
+    z_ref, ld_ref = jax.jit(lambda v, xx: dec0.apply(v, xx, mask, train=False))(v, x)
+    z_fus, ld_fus = jax.jit(lambda v, xx: dec1.apply(v, xx, mask, train=False))(v, x)
+
+    def rel(a, b):
+        return float(jnp.max(jnp.abs((a - b) * mask)) /
+                     (jnp.max(jnp.abs(a * mask)) + 1e-9))
+
+    err_hi, err_def = rel(z_hi, z_fus), rel(z_hi, z_ref)
+    ld_err = float(jnp.max(jnp.abs(ld_hi - ld_fus)) / (jnp.max(jnp.abs(ld_hi)) + 1e-9))
+    print(f"flow-step fwd rel err vs fp32-HIGHEST flax: fused={err_hi:.2e} "
+          f"(default-precision flax={err_def:.2e}); logdet rel err: {ld_err:.2e}")
+    assert err_hi < 1e-4, err_hi
+    assert ld_err < 1e-4, ld_err
+
+    def loss(dec):
+        def f(vv, xx):
+            z, ld = dec.apply(vv, xx, mask, train=False)
+            return jnp.sum((z * mask) ** 2) + jnp.sum(ld)
+        return jax.jit(jax.grad(f, argnums=(0, 1)))
+
+    with jax.default_matmul_precision("highest"):
+        g_ref = loss(dec0)(v, x)
+    g_fus = loss(dec1)(v, x)
+    worst = float(jnp.max(jnp.abs(g_ref[1] - g_fus[1])) /
+                  (jnp.max(jnp.abs(g_ref[1])) + 1e-9))
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_flatten_with_path(g_ref[0])[0],
+                               jax.tree_util.tree_flatten_with_path(g_fus[0])[0]):
+        e = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        if e > 1e-3:
+            print("  grad mismatch", jax.tree_util.keystr(pa), e)
+        worst = max(worst, e)
+    print(f"flow-step worst grad rel err: {worst:.2e}")
+    assert worst < 2e-3, worst
+
+    # train-mode dropout sanity
+    def train_loss(vv, xx, key):
+        z, ld = dec1.apply(vv, xx, mask, train=True, rngs={"dropout": key})
+        return jnp.sum((z * mask) ** 2) + jnp.sum(ld)
+
+    val = float(jax.jit(train_loss)(v, x, jax.random.PRNGKey(7)))
+    v1b = float(jax.jit(train_loss)(v, x, jax.random.PRNGKey(7)))
+    v2 = float(jax.jit(train_loss)(v, x, jax.random.PRNGKey(8)))
+    print(f"flow-step dropout: finite={np.isfinite(val)} same-key delta="
+          f"{abs(val - v1b):.2e} diff-key delta={abs(val - v2):.2e}")
+    assert np.isfinite(val) and abs(val - v1b) < 1e-2 * max(1.0, abs(val)) \
+        and abs(val - v2) > 0.0
+    print("FLOW-STEP CHECKS OK")
+
+
 if __name__ == "__main__":
     main()
+    check_flow_step()
