@@ -322,10 +322,11 @@ class GatedHiFiBlock(nn.Module):
         """One Pallas kernel for the whole block (ops/pallas/gated_hifi.py).
 
         Declares the identical param tree as the unfused path, then hands the
-        raw weights to the fused kernel. Output differs from the unfused path
-        only at mask=0 positions (masked residual base; every downstream
-        consumer re-masks), and in the dropout mask realization (hardware
-        PRNG instead of threefry; same Bernoulli distribution).
+        raw weights to the fused kernel. Output equals the unfused path's
+        ``out * mask`` bitwise (the kernel masks its own output per
+        sequence, so downstream MaskedConvs may skip their x*mask round
+        trip); in-block math is untouched. Dropout realization differs
+        (hardware PRNG instead of threefry; same Bernoulli law).
         """
         from speech_masters_thesis_tpu.ops.pallas.gated_hifi import (
             GatedHiFiSpec, apply_fused_gated_hifi)
@@ -377,7 +378,11 @@ class GatedHiFiBlock(nn.Module):
         )
         spec.check()
         m = 1.0 if mask is None else mask
-        out = apply_fused_gated_hifi(spec, seed_f32, x * m, wall, ball,
+        if mask is None:
+            lens = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+        else:
+            lens = jnp.sum(mask[..., 0], axis=1).astype(jnp.int32)
+        out = apply_fused_gated_hifi(spec, seed_f32, lens, x * m, wall, ball,
                                      ks, bs, w1s, b1s, wg, bg)
         return out, m
 

@@ -141,27 +141,34 @@ class _ConvParams(nn.Module):
 
 
 class MaskedConv1d(nn.Module):
-    """Conv over masked input; mask is stride-subsampled (reference conv.py:5-10)."""
+    """Conv over masked input; mask is stride-subsampled (reference conv.py:5-10).
+
+    ``pre_masked`` skips the x*mask multiply when the producer already
+    emitted per-sequence-masked values (the fused GatedHiFi kernel masks its
+    own output) — one less full HBM round trip per conv, identical values.
+    """
 
     features: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
     folded: bool = False
+    pre_masked: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        xm = x if self.pre_masked else x * mask
         if self.folded and self.stride > 1 and x.shape[1] % self.stride == 0:
             kernel, bias = _ConvParams(self.features, self.kernel_size,
                                        name="Conv_0")(x.shape[-1])
-            y = _fold_conv(x * mask, kernel.astype(x.dtype),
+            y = _fold_conv(xm, kernel.astype(x.dtype),
                            self.kernel_size, self.stride, self.padding)
             return y + bias.astype(y.dtype), mask[:, ::self.stride]
         x = nn.Conv(
             self.features, (self.kernel_size,),
             strides=(self.stride,),
             padding=[(self.padding, self.padding)],
-        )(x * mask)
+        )(xm)
         return x, mask[:, ::self.stride]
 
 
@@ -173,11 +180,13 @@ class MaskedConvTranspose1d(nn.Module):
     stride: int = 1
     padding: int = 0
     folded: bool = False
+    pre_masked: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray):
+        xm = x if self.pre_masked else x * mask
         x = ConvTranspose1d(self.features, self.kernel_size, self.stride,
-                            self.padding, folded=self.folded)(x * mask)
+                            self.padding, folded=self.folded)(xm)
         return x, jnp.repeat(mask, self.stride, axis=1)
 
 
@@ -207,10 +216,18 @@ class EncoderConvBlock(nn.Module):
         if self.down_t <= 0:
             return x, mask
         Block = get_block(self.block_type)
+        # fused gated_hifi blocks emit per-sequence-masked output; the conv
+        # that consumes it can skip its own x*mask. Mirrors the kernel-path
+        # condition in GatedHiFiBlock.__call__ exactly (train-mode dropout
+        # falls back to the unmasked flax path off-TPU).
+        blocks_mask_output = (self.fused and self.block_type == "gated_hifi"
+                              and not (train and self.p_dropout > 0
+                                       and jax.default_backend() != "tpu"))
         filter_t, pad_t = self.stride_t * 2, self.stride_t // 2
         for i in range(self.down_t):
             x, mask = MaskedConv1d(self.width, filter_t, self.stride_t, pad_t,
-                                   folded=self.folded)(x, mask)
+                                   folded=self.folded,
+                                   pre_masked=blocks_mask_output and i > 0)(x, mask)
             x, mask = Block(
                 self.width, self.depth, m_conv=self.m_conv,
                 dilation_growth_rate=self.dilation_growth_rate,
@@ -220,7 +237,8 @@ class EncoderConvBlock(nn.Module):
                 zero_out=self.zero_out, res_scale=self.res_scale,
                 fused=self.fused, p_dropout=self.p_dropout,
             )(x, mask, train=train)
-        x, mask = MaskedConv1d(self.output_emb_width, 3, 1, 1)(x, mask)
+        x, mask = MaskedConv1d(self.output_emb_width, 3, 1, 1,
+                               pre_masked=blocks_mask_output)(x, mask)
         return x, mask
 
 
@@ -268,8 +286,11 @@ class DecoderConvBlock(nn.Module):
             block_kwargs["fused"] = self.fused
             x, mask = Block(self.width, self.depth, **block_kwargs)(x, mask, train=train)
             out_width = self.input_emb_width if i == (self.down_t - 1) else self.width
-            x, mask = MaskedConvTranspose1d(out_width, filter_t, self.stride_t,
-                                            pad_t, folded=self.folded)(x, mask)
+            x, mask = MaskedConvTranspose1d(
+                out_width, filter_t, self.stride_t, pad_t, folded=self.folded,
+                pre_masked=(self.fused and self.block_type == "gated_hifi"
+                            and not (train and self.p_dropout > 0
+                                     and jax.default_backend() != "tpu")))(x, mask)
         return x, mask
 
 

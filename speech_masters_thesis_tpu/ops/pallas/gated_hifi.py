@@ -228,7 +228,7 @@ def _softmax_gate(ts, ss):
 # forward kernel
 # ---------------------------------------------------------------------------
 def _fwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
-                seed_ref, xp_ref, xc_ref, xn_ref,
+                seed_ref, lens_ref, xp_ref, xc_ref, xn_ref,
                 wall_ref, ball_ref, *rest):
     depth, W, H = spec.depth, spec.n_in, spec.hidden
     ks, bs = rest[0:depth], rest[depth:2 * depth]
@@ -274,14 +274,19 @@ def _fwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
     v = jnp.dot(u.astype(dot_dtype), wg_ref[...].astype(dot_dtype),
                 preferred_element_type=jnp.float32) + bg_ref[...].astype(jnp.float32)
     out = xw[halo:halo + Tt].astype(jnp.float32) + spec.res_scale * v
-    out_ref[0] = out.astype(out_ref.dtype)
+    # per-SEQUENCE output masking: bitwise-equal to out * mask downstream,
+    # letting the next MaskedConv skip its x*mask HBM round trip. Note this
+    # is OUTPUT masking only — in-block math (incl. the reference's bias
+    # leak across the length boundary) is untouched.
+    vl = _valid_mask(Tt, i * Tt, jnp.minimum(T, lens_ref[b]))
+    out_ref[0] = (out * vl).astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel (full recompute; accumulates weight grads across the grid)
 # ---------------------------------------------------------------------------
 def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
-                seed_ref, xp_ref, xc_ref, xn_ref, gp_ref, gc_ref, gn_ref,
+                seed_ref, lens_ref, xp_ref, xc_ref, xn_ref, gp_ref, gc_ref, gn_ref,
                 wall_ref, ball_ref, *rest):
     depth, W, H = spec.depth, spec.n_in, spec.hidden
     ks = rest[0:depth]
@@ -316,7 +321,9 @@ def _bwd_kernel(spec: GatedHiFiSpec, T: int, dot_dtype,
     # docstring) so recompute and cotangent flow see zero-padding
     # semantics; where (not *) so uninitialized NaN cannot propagate
     xw = jnp.where(valid_p > 0, xw, jnp.zeros_like(xw))
-    valid_m = _valid_mask(Tm, i * Tt - halo, T)
+    # cotangent of the len-masked output: rows past the sequence length
+    # carry no gradient (g * mask downstream was the old equivalent)
+    valid_m = _valid_mask(Tm, i * Tt - halo, jnp.minimum(T, lens_ref[b]))
     gw = jnp.where(valid_m > 0, gw, jnp.zeros_like(gw))
 
     z_all = jnp.dot(xw.astype(dot_dtype), wall_ref[...].astype(dot_dtype),
@@ -492,7 +499,7 @@ def _weight_specs(n: int):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
-def _fwd(spec: GatedHiFiSpec, seed, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
+def _fwd(spec: GatedHiFiSpec, seed, lens, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
     B, T, W = xm.shape
     depth, H = spec.depth, spec.hidden
     dot_dtype = xm.dtype
@@ -507,7 +514,7 @@ def _fwd(spec: GatedHiFiSpec, seed, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, spec, T, dot_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, tile, W), lambda b, i, *_: (b, i, 0),
@@ -516,11 +523,11 @@ def _fwd(spec: GatedHiFiSpec, seed, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
         out_shape=jax.ShapeDtypeStruct((B, T, W), xm.dtype),
         cost_estimate=_block_flops(spec, B, T, bwd=False),
         interpret=spec.interpret,
-    )(seed, xm, xm, xm, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
+    )(seed, lens, xm, xm, xm, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
     return out
 
 
-def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg):
+def _bwd(spec: GatedHiFiSpec, seed, lens, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg):
     B, T, W = xm.shape
     depth, H = spec.depth, spec.hidden
     dot_dtype = xm.dtype
@@ -563,7 +570,7 @@ def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spec, T, dot_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -575,36 +582,38 @@ def _bwd(spec: GatedHiFiSpec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
         out_shape=out_shape,
         cost_estimate=_block_flops(spec, B, T, bwd=True),
         interpret=spec.interpret,
-    )(seed, xm, xm, xm, gc, gc, gc, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
+    )(seed, lens, xm, xm, xm, gc, gc, gc, wall, ball, *ks, *bs, *w1s, *b1s, wg, bg)
 
     return outs[0], outs[1:]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_gated_hifi(spec: GatedHiFiSpec, seed_f32, xm, wall, ball,
+def fused_gated_hifi(spec: GatedHiFiSpec, seed_f32, lens, xm, wall, ball,
                      ks, bs, w1s, b1s, wg, bg):
-    """out = xm + res_scale * GatedHiFi(xm); see module docstring.
+    """out = (xm + res_scale * GatedHiFi(xm)) * seq_mask; see module docstring.
 
     seed_f32: float32 scalar holding the int32 dropout seed bit pattern
     (float so custom_vjp cotangent plumbing stays all-float).
+    lens: [B] int32 valid lengths — the output is masked past them (bitwise
+    what out * mask produced downstream before; consumers may skip it).
     ks/bs/w1s/b1s are tuples of per-branch params: conv kernel [k, H, H],
     conv bias [1, H], 1x1 kernel [H, H], 1x1 bias [1, H]. wall [W, 4H],
     ball [1, 4H], wg [W, W], bg [1, W].
     """
     seed = jax.lax.bitcast_convert_type(seed_f32, jnp.int32).reshape((1,))
-    return _fwd(spec, seed, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)
+    return _fwd(spec, seed, lens, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)
 
 
-def _vjp_fwd(spec, seed_f32, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
-    out = fused_gated_hifi(spec, seed_f32, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)
-    return out, (seed_f32, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)
+def _vjp_fwd(spec, seed_f32, lens, xm, wall, ball, ks, bs, w1s, b1s, wg, bg):
+    out = fused_gated_hifi(spec, seed_f32, lens, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)
+    return out, (seed_f32, lens, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)
 
 
 def _vjp_bwd(spec, residuals, g):
-    seed_f32, xm, wall, ball, ks, bs, w1s, b1s, wg, bg = residuals
+    seed_f32, lens, xm, wall, ball, ks, bs, w1s, b1s, wg, bg = residuals
     seed = jax.lax.bitcast_convert_type(seed_f32, jnp.int32).reshape((1,))
     depth = spec.depth
-    dx, rest = _bwd(spec, seed, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
+    dx, rest = _bwd(spec, seed, lens, xm, g, wall, ball, ks, bs, w1s, b1s, wg, bg)
     dwall, dball = rest[0], rest[1]
     dks = rest[2:2 + depth]
     dbs = rest[2 + depth:2 + 2 * depth]
@@ -613,7 +622,7 @@ def _vjp_bwd(spec, residuals, g):
     dwg, dbg = rest[2 + 4 * depth], rest[2 + 4 * depth + 1]
 
     cast = lambda v, like: v.astype(like.dtype)
-    return (jnp.zeros_like(seed_f32),
+    return (jnp.zeros_like(seed_f32), jnp.zeros_like(lens),
             cast(dx, xm),
             cast(dwall, wall), cast(dball, ball),
             tuple(cast(a, b) for a, b in zip(dks, ks)),
@@ -626,7 +635,7 @@ def _vjp_bwd(spec, residuals, g):
 fused_gated_hifi.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def apply_fused_gated_hifi(spec: GatedHiFiSpec, seed_f32, xm, wall, ball,
+def apply_fused_gated_hifi(spec: GatedHiFiSpec, seed_f32, lens, xm, wall, ball,
                            ks, bs, w1s, b1s, wg, bg):
     """Entry point that composes with SPMD data parallelism.
 
@@ -643,24 +652,24 @@ def apply_fused_gated_hifi(spec: GatedHiFiSpec, seed_f32, xm, wall, ball,
     axis = "data"
     if mesh is None or axis not in getattr(mesh, "axis_names", ()) \
             or mesh.shape[axis] <= 1 or xm.shape[0] % mesh.shape[axis] != 0:
-        return fused_gated_hifi(spec, seed_f32, xm, wall, ball,
+        return fused_gated_hifi(spec, seed_f32, lens, xm, wall, ball,
                                 ks, bs, w1s, b1s, wg, bg)
 
     from jax.sharding import PartitionSpec as P
 
-    def per_shard(seed_s, xm_s, wall, ball, ks, bs, w1s, b1s, wg, bg):
+    def per_shard(seed_s, lens_s, xm_s, wall, ball, ks, bs, w1s, b1s, wg, bg):
         bits = jax.lax.bitcast_convert_type(seed_s, jnp.int32)
         bits = bits + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(1640531527)
         seed_mixed = jax.lax.bitcast_convert_type(bits, jnp.float32)
-        return fused_gated_hifi(spec, seed_mixed, xm_s, wall, ball,
+        return fused_gated_hifi(spec, seed_mixed, lens_s, xm_s, wall, ball,
                                 ks, bs, w1s, b1s, wg, bg)
 
     rep = P()
     return jax.shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(rep, P(axis), rep, rep, rep, rep, rep, rep, rep, rep),
+        in_specs=(rep, P(axis), P(axis), rep, rep, rep, rep, rep, rep, rep, rep),
         out_specs=P(axis),
         # pallas out_shapes carry no varying-mesh-axes metadata
         check_vma=False,
-    )(seed_f32, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)
+    )(seed_f32, lens, xm, wall, ball, ks, bs, w1s, b1s, wg, bg)

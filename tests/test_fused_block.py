@@ -217,3 +217,18 @@ def test_vqvae_model_fused_forward_matches(tmp_path):
     np.testing.assert_allclose(float(ld_ref["loss"]), float(ld_fus["loss"]), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ld_ref["yh"]), np.asarray(ld_fus["yh"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_output_is_sequence_masked():
+    """Round-3 contract: the kernel masks its OUTPUT past each sequence's
+    length (== the old downstream out*mask, bitwise), so MaskedConv1d
+    consumers skip their x*mask round trip (encdec.py pre_masked)."""
+    x, mask = _mk(T=700, W=16)
+    ref, fus = _pair(16, zero_out=False)
+    v = ref.init({"params": jax.random.PRNGKey(0)}, x, mask, train=False)
+    y_ref, _ = ref.apply(v, x, mask, train=False)
+    y_fus, _ = fus.apply(v, x, mask, train=False)
+    # fused == unfused * mask everywhere (not just at valid positions)
+    np.testing.assert_allclose(np.asarray(y_fus), np.asarray(y_ref * mask),
+                               rtol=2e-5, atol=2e-5)
+    assert float(jnp.max(jnp.abs(y_fus * (1 - mask)))) == 0.0
