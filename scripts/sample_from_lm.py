@@ -43,6 +43,13 @@ def main():
 
     import jax
 
+    if args.platform:
+        # must be the config API (the TPU plugin overrides JAX_PLATFORMS),
+        # and must run before the first backend use — orbax restore below
+        # touches the default backend. This was missing: --platform cpu
+        # silently ran on the TPU (and hung when the chip lease was wedged).
+        jax.config.update("jax_platforms", args.platform)
+
     import orbax.checkpoint as ocp
 
     from speech_masters_thesis_tpu.models.transformer_lm.model import TransformerLM

@@ -26,9 +26,10 @@ def run(args, **kwargs):
     # cold-compilation-cache full-suite runs need far longer than warm solo
     # runs (single-core XLA compiles + suite-wide CPU contention): 540 s
     # expired in a cold full-suite run that passed solo in 166 s (VERDICT r2
-    # weak #7). The cache makes the generous cap cheap when warm.
+    # weak #7), and 1500 s expired once under extreme whole-machine
+    # contention. The cache makes the generous cap cheap when warm.
     result = subprocess.run(args, cwd=REPO, env=env, capture_output=True,
-                            text=True, timeout=1500, **kwargs)
+                            text=True, timeout=2400, **kwargs)
     assert result.returncode == 0, f"{' '.join(args)}\n--- stdout\n{result.stdout[-3000:]}\n--- stderr\n{result.stderr[-3000:]}"
     return result
 
