@@ -46,6 +46,10 @@ def check_block():
                 (jnp.max(jnp.abs(y_ref * mask)) + 1e-9))
     print(f"forward rel err (valid positions): {err:.2e}")
     assert err < 5e-5, err
+    # round-3 contract: the kernel masks its own output per sequence
+    leak = float(jnp.max(jnp.abs(y_fus * (1 - mask))))
+    print(f"masked-position output (must be 0): {leak:.2e}")
+    assert leak == 0.0, leak
 
     # 2. gradient parity (dropout off)
     def loss(block):
