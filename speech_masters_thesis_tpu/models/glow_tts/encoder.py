@@ -142,8 +142,10 @@ class FlowSpecDecoder(nn.Module):
         # coupling conditioner; ops/pallas/wn_coupling.py:fused_flow_step).
         # The per-layer logdets are computed here from params/lengths with
         # the exact expressions of the unfused layers.
+        # max-T gate comes from the coupling block's own knob (one source of
+        # truth with the conditioner-only fused path; advisor r3)
         fused_step = (self.fused and not reverse and not ddi and g is None
-                      and x.shape[1] <= 768)
+                      and x.shape[1] <= self.flows[2].fused_max_t)
         if fused_step and train and self.p_dropout > 0 \
                 and jax.default_backend() != "tpu":
             fused_step = False  # in-kernel dropout needs the TPU hardware PRNG
@@ -153,14 +155,17 @@ class FlowSpecDecoder(nn.Module):
             for bi in range(self.n_blocks):
                 f_a, f_i, f_c = (self.flows[3 * bi], self.flows[3 * bi + 1],
                                  self.flows[3 * bi + 2])
-                aln = f_a.logs.astype(x.dtype)
-                mt = f_i.dense_matrix_t(x.dtype)
+                # prefix params stay f32: the kernel computes in f32 anyway
+                # (it casts only dot operands), and f32 inputs keep the
+                # custom_vjp param cotangents f32 like the unfused path
+                mt = f_i.dense_matrix_t(jnp.float32)
                 x, logdet_c = f_c(x, x_mask, train=train,
-                                  prefix=(aln, f_a.bias.astype(x.dtype), mt))
+                                  prefix=(f_a.logs, f_a.bias, mt))
                 # ActNorm logdet (flows.py:ActNorm) + InvConvNear logdet
-                # (flows.py:InvConvNear; det > 0 by QR construction)
+                # (flows.py:InvConvNear; det > 0 by QR construction) — both
+                # from the f32 params, exactly as the unfused layers compute
                 _, slogdet = jnp.linalg.slogdet(f_i.weight.astype(jnp.float32))
-                logdet_tot += (jnp.sum(aln) * x_len
+                logdet_tot += (jnp.sum(f_a.logs) * x_len
                                + slogdet * (c / self.n_split) * x_len.astype(jnp.float32)
                                + logdet_c)
         else:

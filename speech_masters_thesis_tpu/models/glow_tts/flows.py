@@ -381,10 +381,13 @@ class CouplingBlock(nn.Module):
             dilation_rate=self.dilation_rate, n_layers=self.n_layers,
             p_drop=float(p), interpret=jax.default_backend() != "tpu",
         )
+        # prefix params pass through in f32 (the kernel computes in f32 and
+        # casts only dot operands) so their custom_vjp cotangents stay f32
         return apply_fused_flow_step(
             spec, seed_f32, lens, x,
-            aln.reshape(1, -1).astype(x.dtype), alb.reshape(1, -1).astype(x.dtype),
-            mt.astype(x.dtype), ws, bs, tuple(wins), tuple(bins),
+            aln.reshape(1, -1).astype(jnp.float32),
+            alb.reshape(1, -1).astype(jnp.float32),
+            mt.astype(jnp.float32), ws, bs, tuple(wins), tuple(bins),
             tuple(wrss), tuple(brss), wend, bend)
 
     def _fused_conditioner(self, x_0, mask, train):

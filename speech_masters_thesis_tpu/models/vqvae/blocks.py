@@ -257,15 +257,21 @@ class GatedHiFiBlock(nn.Module):
     # fused kernel and the unfused ResLayer path (one knob, one behavior)
     p_dropout: float = 0.1
 
+    @staticmethod
+    def uses_kernel(fused: bool, train: bool, p_dropout: float) -> bool:
+        """Single source of truth for the kernel-vs-flax fallback: the fused
+        kernel's dropout uses the TPU hardware PRNG, which has no
+        interpret-mode lowering on CPU, so train-mode with dropout falls back
+        to the flax path off-TPU (eval / p=0 still exercises the kernel).
+        Downstream consumers (EncoderConvBlock/DecoderConvBlock pre_masked)
+        must call THIS, not re-derive the predicate — the kernel emits
+        sequence-masked output only when it actually runs."""
+        return fused and not (train and p_dropout > 0
+                              and jax.default_backend() != "tpu")
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = True):
-        use_fused = self.fused
-        if use_fused and train and self.p_dropout > 0 and jax.default_backend() != "tpu":
-            # the fused kernel's dropout uses the TPU hardware PRNG, which has
-            # no interpret-mode lowering on CPU; train-mode falls back to the
-            # flax path there (eval / p=0 still exercises the kernel)
-            use_fused = False
-        if use_fused:
+        if self.uses_kernel(self.fused, train, self.p_dropout):
             return self._fused(x, mask, train)
         m = 1.0 if mask is None else mask
         scale = 1.0 if not self.res_scale else 1.0 / math.sqrt(self.n_depth)

@@ -38,7 +38,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from speech_masters_thesis_tpu.models.vqvae.blocks import get_block
+from speech_masters_thesis_tpu.models.vqvae.blocks import GatedHiFiBlock, get_block
 
 
 def _fold_conv(x: jnp.ndarray, kernel: jnp.ndarray, k: int, s: int, p: int):
@@ -217,12 +217,11 @@ class EncoderConvBlock(nn.Module):
             return x, mask
         Block = get_block(self.block_type)
         # fused gated_hifi blocks emit per-sequence-masked output; the conv
-        # that consumes it can skip its own x*mask. Mirrors the kernel-path
-        # condition in GatedHiFiBlock.__call__ exactly (train-mode dropout
-        # falls back to the unmasked flax path off-TPU).
-        blocks_mask_output = (self.fused and self.block_type == "gated_hifi"
-                              and not (train and self.p_dropout > 0
-                                       and jax.default_backend() != "tpu"))
+        # that consumes it can skip its own x*mask. The kernel-vs-flax
+        # predicate lives in ONE place: GatedHiFiBlock.uses_kernel.
+        blocks_mask_output = (self.block_type == "gated_hifi"
+                              and GatedHiFiBlock.uses_kernel(
+                                  self.fused, train, self.p_dropout))
         filter_t, pad_t = self.stride_t * 2, self.stride_t // 2
         for i in range(self.down_t):
             x, mask = MaskedConv1d(self.width, filter_t, self.stride_t, pad_t,
@@ -288,9 +287,9 @@ class DecoderConvBlock(nn.Module):
             out_width = self.input_emb_width if i == (self.down_t - 1) else self.width
             x, mask = MaskedConvTranspose1d(
                 out_width, filter_t, self.stride_t, pad_t, folded=self.folded,
-                pre_masked=(self.fused and self.block_type == "gated_hifi"
-                            and not (train and self.p_dropout > 0
-                                     and jax.default_backend() != "tpu")))(x, mask)
+                pre_masked=(self.block_type == "gated_hifi"
+                            and GatedHiFiBlock.uses_kernel(
+                                self.fused, train, self.p_dropout)))(x, mask)
         return x, mask
 
 

@@ -185,13 +185,13 @@ def _bwd_kernel(spec: SmallTAttnSpec, T: int, seed_ref, len_ref,
     dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
 
 
-def _cost(spec: SmallTAttnSpec, B, tp, bwd: bool) -> pl.CostEstimate:
+def _cost(spec: SmallTAttnSpec, B, tp, bwd: bool,
+          itemsize: int = 2) -> pl.CostEstimate:
     """Analytic FLOPs so XLA cost analysis counts the opaque kernel
     (same convention as gated_hifi.py:_block_flops)."""
     matmuls = 5 + 2 if bwd else 2          # bwd: 5 grads + 2 recompute
     flops = B * spec.n_heads * matmuls * 2 * tp * tp * spec.d_head
     trans = B * spec.n_heads * tp * tp * (2 if bwd else 1)
-    itemsize = 2
     bytes_accessed = B * tp * spec.n_heads * spec.d_head * itemsize * (7 if bwd else 4)
     return pl.CostEstimate(flops=flops, transcendentals=trans,
                            bytes_accessed=bytes_accessed)
@@ -232,7 +232,7 @@ def fused_attention(spec: SmallTAttnSpec, seed_f32, lens_f32, q, k, v):
             out_specs=_batch_spec(tp, hd),
         ),
         out_shape=jax.ShapeDtypeStruct((B, T, hd), q.dtype),
-        cost_estimate=_cost(spec, B, tp, bwd=False),
+        cost_estimate=_cost(spec, B, tp, bwd=False, itemsize=q.dtype.itemsize),
         interpret=spec.interpret,
     )(seed, lens, q.reshape(B, T, hd), k.reshape(B, T, hd), v.reshape(B, T, hd))
     return out.reshape(B, T, H, D)
@@ -259,7 +259,7 @@ def _vjp_bwd(spec, residuals, g):
             out_specs=[_batch_spec(tp, hd)] * 3,
         ),
         out_shape=[jax.ShapeDtypeStruct((B, T, hd), q.dtype)] * 3,
-        cost_estimate=_cost(spec, B, tp, bwd=True),
+        cost_estimate=_cost(spec, B, tp, bwd=True, itemsize=q.dtype.itemsize),
         interpret=spec.interpret,
     )(seed, lens, q.reshape(B, T, hd), k.reshape(B, T, hd),
       v.reshape(B, T, hd), g.astype(q.dtype).reshape(B, T, hd))

@@ -55,6 +55,15 @@ def save_checkpoint(config, global_step: int, epoch: int, state: TrainState) -> 
     return path
 
 
+def _stored_keys(checkpointer: "ocp.PyTreeCheckpointer", path: str):
+    """Top-level keys of a saved checkpoint tree (orbax StepMetadata)."""
+    meta = checkpointer.metadata(os.path.abspath(path))
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
+    if tree is None:  # older orbax: metadata IS the tree
+        tree = meta
+    return set(tree.keys()) if hasattr(tree, "keys") else set()
+
+
 def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, int]:
     """Restores into the structure of ``state`` (created fresh from config).
 
@@ -65,12 +74,12 @@ def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, i
     checkpointer = ocp.PyTreeCheckpointer()
     template = {"state": jax.device_get(state), "step": 0, "epoch": 0,
                 "prng_impl_id": 0}
-    try:
-        payload = checkpointer.restore(os.path.abspath(path), item=template)
-    except Exception:
-        # pre-round-3 checkpoints lack prng_impl_id; restore without the check
+    # Probe the stored structure instead of try/except-retrying: a genuinely
+    # corrupt checkpoint then surfaces its real error, and pre-round-3
+    # checkpoints (no prng_impl_id) restore cleanly without the impl check.
+    if "prng_impl_id" not in _stored_keys(checkpointer, path):
         template.pop("prng_impl_id")
-        payload = checkpointer.restore(os.path.abspath(path), item=template)
+    payload = checkpointer.restore(os.path.abspath(path), item=template)
     if "prng_impl_id" in payload:
         saved_id = int(payload["prng_impl_id"])
         current = _current_prng_impl()

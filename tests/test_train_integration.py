@@ -230,3 +230,26 @@ def test_checkpoint_prng_impl_mismatch(tmp_path, setup):
     # same impl restores fine
     restored, step, _ = restore_checkpoint(path, fresh_state())
     assert step == 1
+
+
+def test_checkpoint_old_format_without_prng_impl(tmp_path, setup):
+    """Pre-round-3 checkpoints (no prng_impl_id key) restore cleanly and skip
+    the impl check under ANY active impl (advisor r3: probe the structure,
+    don't try/except-retry)."""
+    import orbax.checkpoint as ocp
+
+    config, mesh, model, tx, fresh_state, train_step = setup
+    state = fresh_state()
+    # write an old-format payload directly (what round-2 save_checkpoint did)
+    path = str(tmp_path / "ckpts" / "ckpt.7")
+    ocp.PyTreeCheckpointer().save(
+        path, {"state": jax.device_get(state), "step": 7, "epoch": 2}, force=True)
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # impl the ckpt never saw
+    try:
+        restored, step, epoch = restore_checkpoint(path, fresh_state())
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+    assert (step, epoch) == (7, 2)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
