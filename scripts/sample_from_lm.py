@@ -18,7 +18,9 @@ import time
 
 import numpy as np
 
-logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+from speech_masters_thesis_tpu.utils.logging_config import setup_logging
+
+setup_logging()  # honors ./logger.conf / $SMT_LOGGER_CONF (reference parity)
 logger = logging.getLogger("sample_from_lm")
 
 

@@ -16,10 +16,9 @@ import argparse
 import logging
 import os
 
-logging.basicConfig(
-    level=logging.INFO,
-    format="%(asctime)s %(name)s %(levelname)s: %(message)s",
-)
+from speech_masters_thesis_tpu.utils.logging_config import setup_logging
+
+setup_logging()  # honors ./logger.conf / $SMT_LOGGER_CONF (reference parity)
 logger = logging.getLogger("train")
 
 
