@@ -30,6 +30,7 @@ Usage: python -m benchmarks.run_benchmarks [--quick]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -324,12 +325,31 @@ def bench_mas(quick: bool = False) -> dict:
 
     scan_ms, out_scan = timed(jax.jit(maximum_path))
     result = {"metric": "mas_ms", "shape": [b, t_x, t_y], "scan_ms": round(scan_ms, 3)}
-    try:
-        pallas_ms, out_pallas = timed(jax.jit(maximum_path_pallas))
-        result["pallas_ms"] = round(pallas_ms, 3)
-        result["pallas_matches_scan"] = bool(jnp.array_equal(out_pallas, out_scan))
-    except Exception as e:  # pragma: no cover - backend-specific
-        result["pallas_error"] = str(e)[:200]
+    # unroll ladder: rows processed per kernel loop iteration (slab VMEM IO +
+    # loop-overhead amortization; ops/pallas/mas.py). 8 is the shipped default.
+    for unroll in ([8] if quick else [1, 4, 8, 16, 32]):
+        try:
+            pallas_ms, out_pallas = timed(
+                functools.partial(maximum_path_pallas, unroll=unroll))
+            result[f"pallas_u{unroll}_ms"] = round(pallas_ms, 3)
+            if unroll == 8:
+                result["pallas_ms"] = round(pallas_ms, 3)
+            result.setdefault("pallas_matches_scan", True)
+            result["pallas_matches_scan"] &= bool(jnp.array_equal(out_pallas, out_scan))
+        except Exception as e:  # pragma: no cover - backend-specific
+            result[f"pallas_u{unroll}_error"] = str(e)[:200]
+    # shipped Glow/VQ-TTS shapes (bucketed): the stress shape above overstates
+    # t_y; record the in-pipeline shape too
+    if not quick:
+        b2, tx2, ty2 = 8, 193, 384
+        value = jnp.asarray(rng.randn(b2, tx2, ty2).astype(np.float32))
+        mask = jnp.ones((b2, tx2, ty2), jnp.float32)
+        s_ms, o_s = timed(jax.jit(maximum_path))
+        p_ms, o_p = timed(functools.partial(maximum_path_pallas, unroll=8))
+        result["shipped_shape"] = [b2, tx2, ty2]
+        result["shipped_scan_ms"] = round(s_ms, 3)
+        result["shipped_pallas_ms"] = round(p_ms, 3)
+        result["shipped_matches"] = bool(jnp.array_equal(o_p, o_s))
     return result
 
 

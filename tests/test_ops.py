@@ -158,19 +158,22 @@ def test_mas_log_prior_matches_direct():
     np.testing.assert_allclose(logp, direct, rtol=1e-4, atol=1e-4)
 
 
-def test_maximum_path_pallas_interpret_matches_oracle():
-    """Pallas MAS kernel (interpret mode on CPU) vs the numpy oracle."""
+@pytest.mark.parametrize("t_y,unroll", [(16, 1), (16, 8), (29, 8), (29, 3)])
+def test_maximum_path_pallas_interpret_matches_oracle(t_y, unroll):
+    """Pallas MAS kernel (interpret mode on CPU) vs the numpy oracle,
+    covering the unrolled main loop and the static remainder rows."""
     from speech_masters_thesis_tpu.ops.pallas.mas import maximum_path_pallas
 
     rng = np.random.RandomState(11)
-    b, t_x, t_y = 3, 8, 16
+    b, t_x = 3, 8
     value = rng.randn(b, t_x, t_y).astype(np.float32)
     x_lens = rng.randint(2, t_x + 1, size=b)
     y_lens = np.maximum(rng.randint(t_x, t_y + 1, size=b), x_lens)
     mask = ((np.arange(t_x)[None, :, None] < x_lens[:, None, None])
             & (np.arange(t_y)[None, None, :] < y_lens[:, None, None])).astype(np.float32)
     ref = mas_oracle(value.copy(), mask.copy())
-    out = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask), interpret=True))
+    out = np.asarray(maximum_path_pallas(jnp.asarray(value), jnp.asarray(mask),
+                                         interpret=True, unroll=unroll))
     np.testing.assert_array_equal(out, ref)
 
 
