@@ -42,6 +42,10 @@ def parse_args():
                         help="'device': Griffin-Lim inside jit (ops/griffin_lim.py); "
                              "'host': the artifact-path numpy loop")
     parser.add_argument("--gl_iters", type=int, default=32)
+    parser.add_argument("--flow_cache", type=int, default=1,
+                        help="1 (default): precompute flow inverses + folded "
+                             "weight-norm kernels once (reference store_inverse/"
+                             "remove_weight_norm); 0: recompute per call")
     return parser.parse_args()
 
 
@@ -87,6 +91,19 @@ def main():
     device_vocoder = args.vocoder == "device"
     vocode = make_mel_vocoder(config.dataset, n_iter=args.gl_iters)
 
+    rng0 = jax.random.PRNGKey(args.seed)
+    if args.flow_cache:
+        # one-time precompute of flow inverses + folded weight-norm kernels
+        # (reference store_inverse/remove_weight_norm); the steady-state
+        # program below then runs no LU solve (tests/test_flow_cache.py)
+        from speech_masters_thesis_tpu.models.glow_tts.flows import build_flow_cache
+
+        variables = jax.jit(
+            lambda t, l, r: build_flow_cache(
+                model, variables, t, l, r, max_frames=args.max_frames,
+                noise_scale=args.noise_scale, method=GlowTTS.infer))(
+                    tokens, lens, rng0)
+
     @jax.jit
     def infer(tokens, lens, rng):
         mel, z_lengths = model.apply(variables, tokens, lens, rng,
@@ -102,7 +119,7 @@ def main():
             audio = vocode(mel_m, jax.random.fold_in(rng, 7))
         return mel, z_lengths, audio
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng = rng0
     out1 = infer(tokens, lens, rng)
     timing.sync(out1[1])  # compile + real execution barrier (axon-safe)
     start = time.perf_counter()

@@ -35,8 +35,10 @@ def load_model_from_logdir(log_dir: str, ckpt_num) -> Tuple[object, dict, object
 class GlowTTSSynthesizer:
     """Text -> (mel, waveform) through a trained Glow-TTS checkpoint."""
 
-    def __init__(self, log_dir: str, ckpt_num, max_frames: int = 1024):
+    def __init__(self, log_dir: str, ckpt_num, max_frames: int = 1024,
+                 flow_cache: bool = True):
         import jax
+        import jax.numpy as jnp
 
         from speech_masters_thesis_tpu.models.glow_tts.model import GlowTTS
         from speech_masters_thesis_tpu.text.parser import CMUDictParser
@@ -45,6 +47,18 @@ class GlowTTSSynthesizer:
         assert isinstance(self.model, GlowTTS)
         self.parser = CMUDictParser(self.config.dataset.cmudict_path)
         self.max_frames = max_frames
+
+        if flow_cache:
+            # precompute flow inverses + folded weight-norm kernels once
+            # (reference store_inverse/remove_weight_norm) — amortized over
+            # every synthesize() call; tiny build shapes keep it cheap
+            from speech_masters_thesis_tpu.models.glow_tts.flows import build_flow_cache
+
+            self.variables = build_flow_cache(
+                self.model, self.variables,
+                jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32),
+                jax.random.PRNGKey(0), max_frames=max(16, 4 * 4),
+                noise_scale=0.0, method=GlowTTS.infer)
 
         def _infer(tokens, lens, rng, noise_scale):
             return self.model.apply(self.variables, tokens, lens, rng,

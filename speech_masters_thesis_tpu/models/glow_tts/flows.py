@@ -46,8 +46,19 @@ class WNConv1d(nn.Module):
         g = self.param("g", lambda key, shape: jnp.linalg.norm(
             v.reshape(-1, self.features), axis=0), (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
-        kernel = v * (g / jnp.maximum(norm, 1e-12))[None, None, :]
+        if self.has_variable("flow_cache", "kernel"):
+            # inference-time weight-norm fold (reference remove_weight_norm,
+            # submodules.py:233-238): the caller precomputed the normalized
+            # kernel once (build_flow_cache) — skip the per-call norm
+            kernel = self.get_variable("flow_cache", "kernel")
+        else:
+            norm = jnp.linalg.norm(v.reshape(-1, self.features), axis=0)
+            kernel = v * (g / jnp.maximum(norm, 1e-12))[None, None, :]
+            # collected only when the caller passes mutable=["flow_cache"];
+            # never during init (a cache leaked into the initial variables
+            # would silently bypass the live params after training updates)
+            if not self.is_initializing():
+                self.sow("flow_cache", "kernel", kernel, reduce_fn=lambda a, b: b)
         if return_params:
             # fused-kernel path (ops/pallas/wn_coupling.py): hand back the
             # normalized weights instead of running the conv; grads flow
@@ -113,6 +124,23 @@ def _invconv_qr_init(key, shape):
     return q
 
 
+def build_flow_cache(model, variables: dict, *args, method=None, **kwargs) -> dict:
+    """Inference-time flow caching — the TPU-native equivalent of the
+    reference's ``store_inverse`` (submodules.py:289-336) + then
+    ``remove_weight_norm`` (submodules.py:233-238).
+
+    Runs ONE apply of the generation path with ``mutable=["flow_cache"]``;
+    every InvConvNear sows its precomputed inverse and every WNConv1d its
+    folded (normalized) kernel. Returns ``variables`` extended with the
+    ``flow_cache`` collection — subsequent applies read the cached values
+    and the steady-state program contains no LU solve / weight-norm fold
+    (tests/test_flow_cache.py asserts this on the optimized HLO).
+    """
+    _, mutated = model.apply(variables, *args, method=method,
+                             mutable=["flow_cache"], **kwargs)
+    return {**variables, "flow_cache": mutated["flow_cache"]}
+
+
 def _invconv_group_indices(c: int, s: int):
     """Static (group-slot, group-position) of each channel under the
     reference's (2, c//s, s//2) regrouping (submodules.py:312-313)."""
@@ -172,7 +200,17 @@ class InvConvNear(nn.Module):
         # 4x4 determinant wants full precision anyway)
         w32 = weight.astype(jnp.float32)
         if reverse:
-            w = jnp.linalg.inv(w32).astype(x.dtype)
+            if self.has_variable("flow_cache", "weight_inv"):
+                # inference-time stored inverse (reference store_inverse,
+                # submodules.py:289-336): precomputed by build_flow_cache —
+                # no LU solve in the steady-state generation program
+                w_inv = self.get_variable("flow_cache", "weight_inv")
+            else:
+                w_inv = jnp.linalg.inv(w32)
+                if not self.is_initializing():  # see WNConv1d note
+                    self.sow("flow_cache", "weight_inv", w_inv,
+                             reduce_fn=lambda a, b: b)
+            w = w_inv.astype(x.dtype)
             logdet = None
         else:
             w = w32.astype(x.dtype)
