@@ -181,6 +181,24 @@ def bench_glow_tts_rtf(quick: bool = False) -> dict:
     elapsed = time.perf_counter() - start
     audio_seconds = max_frames * 256 / 22050  # full padded output
 
+    # A/B the inference flow cache (stored invconv inverses + folded WN
+    # kernels — reference store_inverse/remove_weight_norm; flows.py)
+    from speech_masters_thesis_tpu.models.glow_tts.flows import build_flow_cache
+
+    variables_c = jax.jit(lambda r: build_flow_cache(
+        model, variables, tokens, lens, r, max_frames=max_frames,
+        method=GlowTTS.infer))(rng)
+
+    @jax.jit
+    def infer_cached(rng):
+        return model.apply(variables_c, tokens, lens, rng, max_frames=max_frames,
+                           method=GlowTTS.infer)
+
+    timing.sync(infer_cached(rng))
+    start = time.perf_counter()
+    timing.sync(infer_cached(jax.random.fold_in(rng, 1)))
+    elapsed_cached = time.perf_counter() - start
+
     # full text->WAVEFORM path: reverse flow + on-device Griffin-Lim in ONE
     # jitted program (ops/griffin_lim.py; VERDICT r2 item 5). The BASELINE
     # "synthesis RTF < 0.05" target is judged on this number, not mel-only.
@@ -209,24 +227,34 @@ def bench_glow_tts_rtf(quick: bool = False) -> dict:
         "value": round(elapsed / audio_seconds, 5),
         "frames": max_frames,
         "elapsed_s": round(elapsed, 4),
+        "mel_rtf_flow_cached": round(elapsed_cached / audio_seconds, 5),
         "e2e_rtf": round(e2e_elapsed / audio_seconds, 5),
         "e2e_elapsed_s": round(e2e_elapsed, 4),
         "gl_iters": 32,
-        "note": "mel-synthesis wall-time / synthesized audio seconds; e2e_rtf adds "
+        "note": "mel-synthesis wall-time / synthesized audio seconds; "
+                "mel_rtf_flow_cached uses stored inverses + folded WN kernels "
+                "(store_inverse/remove_weight_norm equivalent); e2e_rtf adds "
                 "on-device Griffin-Lim + waveform D2H (BASELINE target < 0.05)",
     }
 
 
-def bench_glow_train(quick: bool = False) -> dict:
-    """Glow-TTS training step throughput at reference scale (mel-frames/s)."""
+def _select_train_prng():
+    """TPU-friendly rbg PRNG for dropout bits (threefry bit-generation
+    measured ~46% of the LM train step; sampling's per-token fold_in pattern
+    is FASTER with threefry, so only the train benches switch).
+    BENCH_PRNG=threefry opts out."""
     import jax
 
-    # TPU-friendly rbg PRNG for dropout bits (threefry bit-generation measured
-    # ~46% of the LM train step; sampling's per-token fold_in pattern is
-    # FASTER with threefry, so only the train benches switch).
-    # BENCH_PRNG=threefry opts out.
     if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
         jax.config.update("jax_default_prng_impl", "rbg")
+
+
+def build_glow_step(quick: bool = False):
+    """Reference-scale Glow-TTS train step. Returns (step, state, batch_data,
+    key, meta) — shared by bench_glow_train and tools/perf_profile."""
+    import jax
+
+    _select_train_prng()
 
     from speech_masters_thesis_tpu.models.ema import default_mu
     from speech_masters_thesis_tpu.parallel.mesh import make_data_mesh, place_replicated, shard_batch
@@ -243,6 +271,8 @@ def bench_glow_train(quick: bool = False) -> dict:
             # fused Pallas coupling conditioner (ops/pallas/wn_coupling.py);
             # GLOW_FUSED=0 opts out for A/B timing
             "fused_blocks": os.environ.get("GLOW_FUSED", "1") == "1",
+            # A/B: whole-flow-step kernel (default) vs conditioner-only fusion
+            "fused_flow_step": os.environ.get("GLOW_FLOW_STEP", "1") == "1",
             "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
             "encoder": {"n_vocab": 148, "out_channels": None, "hidden_channels": 192,
                         "filter_channels": 768, "filter_channels_dp": 256,
@@ -284,6 +314,13 @@ def bench_glow_train(quick: bool = False) -> dict:
         "speaker": None,
     })
     key = jax.random.PRNGKey(0)
+    meta = {"batch": batch, "frames": frames, "per_step_units": batch * frames}
+    return step, state, batch_data, key, meta
+
+
+def bench_glow_train(quick: bool = False) -> dict:
+    """Glow-TTS training step throughput at reference scale (mel-frames/s)."""
+    step, state, batch_data, key, meta = build_glow_step(quick)
     flops = timing.compiled_flops(step, state, batch_data, key)
 
     def run_one(carry):
@@ -291,13 +328,13 @@ def bench_glow_train(quick: bool = False) -> dict:
         return new_state, sc["loss"]
 
     sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=10)
-    report = timing.rate_report(per_step_units=batch * frames,
+    report = timing.rate_report(per_step_units=meta["per_step_units"],
                                 sec_per_step=sec_per_step,
                                 flops_per_step=flops, bf16=True)
     return {
         "metric": "glow_tts_train_mel_frames_per_sec",
         **report,
-        "batch": batch, "frames": frames,
+        "batch": meta["batch"], "frames": meta["frames"],
         "note": "reference runs MAS on CPU NumPy every step; here it is on-device",
     }
 
@@ -353,20 +390,16 @@ def bench_mas(quick: bool = False) -> dict:
     return result
 
 
-def bench_lm_train(quick: bool = False) -> dict:
-    """TransformerLM train-step throughput at reference scale (12L/d512/16h,
-    vocab 512, batch 8 x 257 tokens = BOS + one 256-code segment — the
-    reference's train_transformer_lm.sh configuration). The frozen VQ-VAE
-    decoder graft is omitted: it does not participate in supervised_step
-    (only in sampling/artifacts), so the step cost is identical."""
+def build_lm_step(quick: bool = False):
+    """Reference-scale TransformerLM train step (12L/d512/16h, vocab 512,
+    batch 8 x 257 tokens = BOS + one 256-code segment — the reference's
+    train_transformer_lm.sh configuration). The frozen VQ-VAE decoder graft
+    is omitted: it does not participate in supervised_step (only in
+    sampling/artifacts), so the step cost is identical. Returns (step,
+    state, batch_data, key, meta)."""
     import jax
 
-    # TPU-friendly rbg PRNG for dropout bits (threefry bit-generation measured
-    # ~46% of the LM train step; sampling's per-token fold_in pattern is
-    # FASTER with threefry, so only the train benches switch).
-    # BENCH_PRNG=threefry opts out.
-    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
-        jax.config.update("jax_default_prng_impl", "rbg")
+    _select_train_prng()
 
     from speech_masters_thesis_tpu.models.ema import default_mu
     from speech_masters_thesis_tpu.parallel.mesh import (
@@ -424,6 +457,13 @@ def bench_lm_train(quick: bool = False) -> dict:
         "audio": None, "audio_len": None, "speaker": None,
     })
     key = jax.random.PRNGKey(0)
+    meta = {"batch": batch, "tokens": tokens, "per_step_units": batch * tokens}
+    return step, state, batch_data, key, meta
+
+
+def bench_lm_train(quick: bool = False) -> dict:
+    """LM train-step throughput; see build_lm_step for the configuration."""
+    step, state, batch_data, key, meta = build_lm_step(quick)
     flops = timing.compiled_flops(step, state, batch_data, key)
 
     def run_one(carry):
@@ -431,34 +471,29 @@ def bench_lm_train(quick: bool = False) -> dict:
         return new_state, sc["loss"]
 
     sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=20)
-    report = timing.rate_report(per_step_units=batch * tokens,
+    report = timing.rate_report(per_step_units=meta["per_step_units"],
                                 sec_per_step=sec_per_step,
                                 flops_per_step=flops, bf16=True)
     return {
         "metric": "lm_train_tokens_per_sec",
         **report,
-        "batch": batch, "tokens": tokens,
+        "batch": meta["batch"], "tokens": meta["tokens"],
         "note": "12L/d512 reference scale; audio-seconds equivalent = tokens * 128 / 22050",
     }
 
 
-def bench_vqtts_train(quick: bool = False) -> dict:
-    """VQ-TTS (the thesis's novel model) train-step throughput.
+def build_vqtts_step(quick: bool = False):
+    """VQ-TTS (the thesis's novel model) train step.
 
-    Loads the shipped configs (vqtts_tpu.yaml unless VQTTS_FUSED=0) so the
-    bench measures the real CLI path: TextEncoder + audio codec (fused
-    Pallas GatedHiFi blocks) + text<->audio MAS + grouped bottleneck +
-    6-term loss. Reference anchor: scripts/train_vqvae.sh runs this model
-    at batch 1 on GPU with per-step CPU MAS.
+    Loads the shipped configs (vqtts_tpu.yaml unless VQTTS_FUSED=0) so it
+    measures the real CLI path: TextEncoder + audio codec (fused Pallas
+    GatedHiFi blocks) + text<->audio MAS + grouped bottleneck + 6-term loss.
+    Reference anchor: scripts/train_vqvae.sh runs this model at batch 1 on
+    GPU with per-step CPU MAS. Returns (step, state, batch_data, key, meta).
     """
     import jax
 
-    # TPU-friendly rbg PRNG for dropout bits (threefry bit-generation measured
-    # ~46% of the LM train step; sampling's per-token fold_in pattern is
-    # FASTER with threefry, so only the train benches switch).
-    # BENCH_PRNG=threefry opts out.
-    if os.environ.get("BENCH_PRNG", "rbg") == "rbg" and jax.default_backend() == "tpu":
-        jax.config.update("jax_default_prng_impl", "rbg")
+    _select_train_prng()
 
     from speech_masters_thesis_tpu.models.ema import default_mu
     from speech_masters_thesis_tpu.parallel.mesh import (
@@ -503,6 +538,14 @@ def bench_vqtts_train(quick: bool = False) -> dict:
         "speaker": None,
     })
     key = jax.random.PRNGKey(0)
+    meta = {"batch": batch, "audio_seconds": seconds, "fused": fused,
+            "per_step_units": batch * t_samples / hop}
+    return step, state, batch_data, key, meta
+
+
+def bench_vqtts_train(quick: bool = False) -> dict:
+    """VQ-TTS train-step throughput; see build_vqtts_step for the config."""
+    step, state, batch_data, key, meta = build_vqtts_step(quick)
     flops = timing.compiled_flops(step, state, batch_data, key)
 
     def run_one(carry):
@@ -510,13 +553,14 @@ def bench_vqtts_train(quick: bool = False) -> dict:
         return new_state, sc["loss"]
 
     sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=10)
-    report = timing.rate_report(per_step_units=batch * t_samples / hop,
+    report = timing.rate_report(per_step_units=meta["per_step_units"],
                                 sec_per_step=sec_per_step,
                                 flops_per_step=flops, bf16=True)
     return {
         "metric": "vqtts_train_mel_frames_per_sec",
         **report,
-        "batch": batch, "audio_seconds": seconds, "fused": fused,
+        "batch": meta["batch"], "audio_seconds": meta["audio_seconds"],
+        "fused": meta["fused"],
         "note": "reference trains this at batch 1 with per-step CPU MAS (train_vqvae.sh)",
     }
 

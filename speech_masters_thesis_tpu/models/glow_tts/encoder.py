@@ -112,6 +112,9 @@ class FlowSpecDecoder(nn.Module):
     gin_channels: int = 0
     # fused Pallas conditioner kernels (ops/pallas/wn_coupling.py)
     fused: bool = False
+    # when fused: fuse the WHOLE flow step (actnorm+invconv+conditioner) per
+    # kernel; False keeps conditioner-only fusion (A/B knob: GLOW_FLOW_STEP)
+    fused_flow_step: bool = True
 
     def setup(self):
         flows = []
@@ -144,7 +147,8 @@ class FlowSpecDecoder(nn.Module):
         # the exact expressions of the unfused layers.
         # max-T gate comes from the coupling block's own knob (one source of
         # truth with the conditioner-only fused path; advisor r3)
-        fused_step = (self.fused and not reverse and not ddi and g is None
+        fused_step = (self.fused and self.fused_flow_step
+                      and not reverse and not ddi and g is None
                       and x.shape[1] <= self.flows[2].fused_max_t)
         if fused_step and train and self.p_dropout > 0 \
                 and jax.default_backend() != "tpu":

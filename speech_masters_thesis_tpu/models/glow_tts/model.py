@@ -70,6 +70,7 @@ class GlowTTS(TokenToSpectrogramModel):
             sigmoid_scale=cfg.decoder.sigmoid_scale,
             gin_channels=cfg.gin_channels,
             fused=cfg.get("fused_blocks", False),
+            fused_flow_step=cfg.get("fused_flow_step", True),
         )
 
     @staticmethod

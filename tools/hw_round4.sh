@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-4 hardware measurement queue (VERDICT r3 next #1).
+#
+# Runs every queued parity check and benchmark sequentially on the real
+# chip — ONE TPU process at a time, generous timeouts (first compiles on
+# this 1-core host can take minutes; timeout SIGTERM during a long compile
+# has wedged the remote lease, so budgets are >= 1500 s). A/B variants run
+# BEFORE the final default runs so benchmarks/results.json ends up holding
+# the shipped configuration.
+#
+# Usage: bash tools/hw_round4.sh [start_step]   # logs to /tmp/hw_r4/
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/hw_r4
+mkdir -p "$LOG"
+START=${1:-0}
+N=0
+
+probe() {
+    timeout 90 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
+        > /dev/null 2>&1
+}
+
+run() {
+    local name=$1; shift
+    N=$((N + 1))
+    [ "$N" -lt "$START" ] && { echo "[$N] skip $name"; return; }
+    if ! probe; then
+        echo "[$N] LEASE WEDGED before $name — aborting queue (resume: bash tools/hw_round4.sh $N)"
+        exit 1
+    fi
+    echo "[$N] $name: $*"
+    local t0=$SECONDS
+    timeout 2400 "$@" > "$LOG/$name.log" 2>&1
+    echo "[$N] $name rc=$? (${LOG}/$name.log, $((SECONDS - t0))s)"
+}
+
+# 1. kernel parity checks on hardware (round-3 contracts never chip-verified)
+run fused_check    python -m tools.fused_check
+run wn_check       python -m tools.wn_check
+run flash_check    python -m tools.flash_check
+
+# 2. A/B variants (logged only; defaults re-run last into results.json)
+run glow_condonly  env GLOW_FLOW_STEP=0 python -m benchmarks.run_benchmarks --only glow_train
+run glow_unfused   env GLOW_FUSED=0 python -m benchmarks.run_benchmarks --only glow_train
+run vqtts_unfused  env VQTTS_FUSED=0 python -m benchmarks.run_benchmarks --only vqtts_train
+run lm_unfused     env LM_FUSED=0 python -m benchmarks.run_benchmarks --only lm_train
+run lm_batch64     env LM_BATCH=64 python -m benchmarks.run_benchmarks --only lm_train
+
+# 3. headline bench + the full default auxiliary suite (results.json of record)
+run bench          python bench.py
+run benchmarks     python -m benchmarks.run_benchmarks
+
+# 4. device traces for the MFU work (items 2-4): op-time decomposition
+run prof_glow      python -m tools.perf_profile --model glow
+run prof_vqtts     python -m tools.perf_profile --model vqtts
+run prof_lm        python -m tools.perf_profile --model lm
+
+echo "ALL DONE — summaries:"
+grep -h '"metric"' "$LOG"/*.log 2>/dev/null | head -40

@@ -20,11 +20,21 @@ def capture(args) -> str:
     import jax
 
     from speech_masters_thesis_tpu.utils import timing
-    from tools.stepfactory import build_vqvae_step
 
-    train_step, state, batch, rng, meta = build_vqvae_step(
-        batch_size=args.batch, bf16=not args.f32, remat=not args.no_remat,
-        fused=args.fused)
+    if args.model == "vqvae":
+        from tools.stepfactory import build_vqvae_step
+
+        train_step, state, batch, rng, meta = build_vqvae_step(
+            batch_size=args.batch, bf16=not args.f32, remat=not args.no_remat,
+            fused=args.fused)
+    else:
+        # reference-scale steps shared with the bench harness (env knobs
+        # GLOW_FUSED/GLOW_FLOW_STEP/VQTTS_FUSED/LM_FUSED/LM_BATCH apply)
+        from benchmarks import run_benchmarks as rb
+
+        builder = {"glow": rb.build_glow_step, "vqtts": rb.build_vqtts_step,
+                   "lm": rb.build_lm_step}[args.model]
+        train_step, state, batch, rng, meta = builder()
 
     def run_one(carry):
         new_state, scalars = train_step(carry, batch, rng)
@@ -105,16 +115,24 @@ def _print_top(tool: str, data: str, top: int) -> None:
 
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="vqvae",
+                        choices=["vqvae", "glow", "vqtts", "lm"],
+                        help="which reference-scale train step to trace "
+                             "(non-vqvae use the bench builders; --batch/"
+                             "--no-remat/--fused apply to vqvae only)")
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--no-remat", action="store_true")
     parser.add_argument("--fused", action="store_true",
                         help="fused Pallas GatedHiFi blocks (model.fused_blocks)")
     parser.add_argument("--f32", action="store_true")
-    parser.add_argument("--trace-dir", type=str, default="/tmp/vqvae_trace")
+    parser.add_argument("--trace-dir", type=str, default=None,
+                        help="default: /tmp/<model>_trace")
     parser.add_argument("--parse-only", action="store_true",
                         help="skip capture; summarize an existing trace dir")
     args = parser.parse_args()
+    if args.trace_dir is None:
+        args.trace_dir = f"/tmp/{args.model}_trace"
     if not args.parse_only:
         capture(args)
     summarize(args.trace_dir)
