@@ -139,7 +139,9 @@ def test_glow_gradients(glow):
                               train=True, rngs={"dropout": rng})
         return ld["loss"]
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    # jit the grad: one cached XLA program instead of thousands of
+    # eager op dispatches (1-core host; persistent test cache)
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
 

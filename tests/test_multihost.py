@@ -16,6 +16,9 @@ import sys
 
 import pytest
 
+# multi-minute subprocess/multi-process tests; -m 'not slow' skips them
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     with socket.socket() as s:

@@ -15,6 +15,9 @@ import sys
 import numpy as np
 import pytest
 
+# multi-minute subprocess/multi-process tests; -m 'not slow' skips them
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

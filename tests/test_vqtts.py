@@ -129,7 +129,9 @@ def test_vqtts_gradients(vqtts):
             rngs={"dropout": key, "codebook": key}, mutable=["codebook"])
         return ld["loss"]
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    # jit the grad: one cached XLA program instead of thousands of
+    # eager op dispatches (1-core host; persistent test cache)
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
     # text encoder must receive gradient (through duration + CE + align paths)

@@ -74,7 +74,9 @@ def test_gradients_flow_through_straight_through(model_and_vars):
             rngs={"dropout": rng, "codebook": rng}, mutable=["codebook"])
         return loss_dict["loss"]
 
-    grads = jax.grad(loss_fn)(variables["params"])
+    # jit the grad: one cached XLA program instead of thousands of
+    # eager op dispatches (1-core host; persistent test cache)
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
     # encoder must receive gradient through the straight-through estimator
     enc_leaves = jax.tree.leaves(grads["encoder"])
     assert any(float(jnp.abs(g).max()) > 0 for g in enc_leaves)
