@@ -39,6 +39,7 @@ run() {
 run fused_check    python -m tools.fused_check
 run wn_check       python -m tools.wn_check
 run flash_check    python -m tools.flash_check
+run attn_check     python -m tools.attn_check
 
 # 2. A/B variants (logged only; defaults re-run last into results.json)
 run glow_condonly  env GLOW_FLOW_STEP=0 python -m benchmarks.run_benchmarks --only glow_train
@@ -55,6 +56,13 @@ run benchmarks     python -m benchmarks.run_benchmarks
 run prof_glow      python -m tools.perf_profile --model glow
 run prof_vqtts     python -m tools.perf_profile --model vqtts
 run prof_lm        python -m tools.perf_profile --model lm
+
+# 5. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
+run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
+                       --dataset tests/fixtures/ljspeech_tiny.yaml \
+                       --log_dir /tmp/hw_r4/smoke --batch_size 2 --total_epochs 1 \
+                       --log_every_n_steps 2 --ckpt_every_n_steps 4 \
+                       --eval_every_n_epochs 1 --max_steps 6
 
 echo "ALL DONE — summaries:"
 grep -h '"metric"' "$LOG"/*.log 2>/dev/null | head -40
