@@ -273,6 +273,10 @@ def build_glow_step(quick: bool = False):
             "fused_blocks": os.environ.get("GLOW_FUSED", "1") == "1",
             # A/B: whole-flow-step kernel (default) vs conditioner-only fusion
             "fused_flow_step": os.environ.get("GLOW_FLOW_STEP", "1") == "1",
+            # A/B: fused TextEncoder layers (ops/pallas/enc_layer.py);
+            # follows GLOW_FUSED unless GLOW_ENC overrides
+            "fused_encoder": os.environ.get(
+                "GLOW_ENC", os.environ.get("GLOW_FUSED", "1")) == "1",
             "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
             "encoder": {"n_vocab": 148, "out_channels": None, "hidden_channels": 192,
                         "filter_channels": 768, "filter_channels_dp": 256,
@@ -508,6 +512,10 @@ def build_vqtts_step(quick: bool = False):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     name = "vqtts_tpu.yaml" if fused else "vqtts.yaml"
     config = load_config(os.path.join(repo, "configs", "models", name))
+    # A/B: fused TextEncoder layers (ops/pallas/enc_layer.py); follows the
+    # codec-fusion default unless VQTTS_ENC overrides
+    config = config.merge(Config({"model": {"fused_encoder": os.environ.get(
+        "VQTTS_ENC", "1" if fused else "0") == "1"}}))
     config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
     batch, seconds, tokens = (2, 1.0, 24) if quick else (4, 2.0, 64)
     config = config.merge(Config({"train": {

@@ -23,6 +23,81 @@ from speech_masters_thesis_tpu.models.glow_tts.flows import ActNorm, CouplingBlo
 from speech_masters_thesis_tpu.ops.basic import sequence_mask
 
 
+class _ConvParams(nn.Module):
+    """Declares an nn.Conv's exact params (kernel/bias names, shapes, inits)
+    without running it — the fused encoder-layer kernel consumes them
+    directly (same trick as flows._WNParams / _EndConvParams)."""
+
+    features: int
+    kernel_size: int = 1
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        kernel = self.param("kernel", init,
+                            (self.kernel_size, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _ScaleBias(nn.Module):
+    """LayerNorm param twin (named LayerNorm_0 under ChannelLayerNorm)."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        return scale, bias
+
+
+class _LNParams(nn.Module):
+    @nn.compact
+    def __call__(self, features: int):
+        return _ScaleBias(name="LayerNorm_0")(features)
+
+
+class _AttnParams(nn.Module):
+    """RelativeSelfAttention param twin (attention.py:60-156): conv_q/k/v
+    xavier-init, shared-head relative tables, default-init conv_o."""
+
+    channels: int
+    n_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        C = self.channels
+        D = C // self.n_heads
+        xavier = nn.initializers.xavier_uniform()
+        wq, bq = _ConvParams(C, kernel_init=xavier, name="conv_q")(C)
+        wk, bk = _ConvParams(C, kernel_init=xavier, name="conv_k")(C)
+        wv, bv = _ConvParams(C, kernel_init=xavier, name="conv_v")(C)
+        rel_stddev = D ** -0.5
+        rk = self.param("emb_rel_k", nn.initializers.normal(rel_stddev),
+                        (1, 2 * self.window_size + 1, D))
+        rv = self.param("emb_rel_v", nn.initializers.normal(rel_stddev),
+                        (1, 2 * self.window_size + 1, D))
+        wo, bo = _ConvParams(C, name="conv_o")(C)
+        return (wq[0], bq, wk[0], bk, wv[0], bv, rk[0], rv[0], wo[0], bo)
+
+
+class _FFNParams(nn.Module):
+    """FeedForwardNetwork param twin (attention.py:187-208)."""
+
+    out_channels: int
+    filter_channels: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        w1, b1 = _ConvParams(self.filter_channels, self.kernel_size,
+                             name="conv_1")(in_features)
+        w2, b2 = _ConvParams(self.out_channels, self.kernel_size,
+                             name="conv_2")(self.filter_channels)
+        return w1, b1, w2, b2
+
+
 class TextEncoder(nn.Module):
     """Token ids -> prior statistics (mean, log-std) + log durations.
 
@@ -44,6 +119,13 @@ class TextEncoder(nn.Module):
     mean_only: bool = False
     prenet: bool = False
     gin_channels: int = 0
+    # run each attention+FFN layer as one fused Pallas kernel
+    # (ops/pallas/enc_layer.py); config knob: model.fused_encoder
+    # (defaults to model.fused_blocks)
+    fused: bool = False
+    # largest text sequence the fused kernel handles per batch element
+    # (whole-layer-in-VMEM design; beyond this, fall back to flax)
+    fused_max_t: int = 512
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, text_lengths: jnp.ndarray,
@@ -59,6 +141,22 @@ class TextEncoder(nn.Module):
             x = ConvReluNorm(self.hidden_channels, self.hidden_channels,
                              kernel_size=5, n_layers=3, p_dropout=0.1, name="pre")(
                 x, x_mask, train=train)
+
+        # fused whole-layer Pallas path (ops/pallas/enc_layer.py). The gate
+        # conditions are exactly the configuration every shipped encoder
+        # uses: windowed self-attention, shared-head tables, no block_length
+        # / proximal bias / speaker conditioning in the attention itself.
+        use_fused = (self.fused and self.window_size is not None
+                     and x.shape[1] <= self.fused_max_t)
+        if use_fused and train and self.p_dropout > 0 \
+                and jax.default_backend() != "tpu":
+            # in-kernel dropout needs the TPU hardware PRNG
+            use_fused = False
+        if use_fused:
+            for i in range(self.n_layers):
+                x = self._fused_layer(i, x, x_mask, train)
+            x = x * x_mask
+            return self._heads(x, x_mask, speaker_embeddings, train)
 
         attn_mask = x_mask[:, None, :, 0][..., None] * x_mask[:, None, None, :, 0]  # [B,1,T,T]
         for i in range(self.n_layers):
@@ -76,7 +174,10 @@ class TextEncoder(nn.Module):
             y = nn.Dropout(self.p_dropout, deterministic=not train)(y)
             x = ChannelLayerNorm(self.hidden_channels, name=f"norm2_{i}")(x + y)
         x = x * x_mask
+        return self._heads(x, x_mask, speaker_embeddings, train)
 
+    def _heads(self, x, x_mask, speaker_embeddings, train):
+        """Prior-statistics and duration heads on the encoded features."""
         # duration predictor sees detached features (+ speaker cond)
         x_dp = jax.lax.stop_gradient(x)
         if speaker_embeddings is not None:
@@ -93,6 +194,44 @@ class TextEncoder(nn.Module):
         logw = DurationPredictor(self.filter_channels_dp, self.kernel_size,
                                  self.p_dropout, name="proj_w")(x_dp, x_mask, train=train)
         return x_m, x_logs, logw, x_mask
+
+    def _fused_layer(self, i: int, x, x_mask, train):
+        """One encoder layer (attn_{i} + norm1_{i} + ffn_{i} + norm2_{i}) as
+        one Pallas kernel per batch element (ops/pallas/enc_layer.py).
+
+        Identical param tree to the flax path (checkpoints interchangeable);
+        identical math at valid positions; dropout uses the hardware PRNG
+        (same Bernoulli law, different realization than threefry).
+        """
+        from speech_masters_thesis_tpu.ops.pallas.enc_layer import (
+            EncLayerSpec, apply_fused_enc_layer)
+
+        C = self.hidden_channels
+        (wq, bq, wk, bk, wv, bv, rk, rv, wo, bo) = _AttnParams(
+            C, self.n_heads, self.window_size, name=f"attn_{i}")()
+        g1, be1 = _LNParams(name=f"norm1_{i}")(C)
+        w1, b1, w2, b2 = _FFNParams(C, self.filter_channels,
+                                    self.kernel_size, name=f"ffn_{i}")(C)
+        g2, be2 = _LNParams(name=f"norm2_{i}")(C)
+
+        p = self.p_dropout if train else 0.0
+        if p > 0.0:
+            seed_bits = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            seed_f32 = jax.lax.bitcast_convert_type(seed_bits, jnp.float32)
+        else:
+            seed_f32 = jnp.float32(0.0)
+        lens = jnp.sum(x_mask[..., 0], axis=1).astype(jnp.int32)
+
+        spec = EncLayerSpec(
+            channels=C, n_heads=self.n_heads, window=self.window_size,
+            filter_channels=self.filter_channels, kernel_size=self.kernel_size,
+            p_drop=float(p), interpret=jax.default_backend() != "tpu",
+        )
+        row = lambda v: v.reshape(1, -1)
+        return apply_fused_enc_layer(
+            spec, seed_f32, lens, x,
+            wq, row(bq), wk, row(bk), wv, row(bv), rk, rv, wo, row(bo),
+            row(g1), row(be1), w1, row(b1), w2, row(b2), row(g2), row(be2))
 
 
 class FlowSpecDecoder(nn.Module):

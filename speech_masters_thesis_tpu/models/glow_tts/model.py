@@ -56,6 +56,7 @@ class GlowTTS(TokenToSpectrogramModel):
             mean_only=cfg.encoder.mean_only,
             prenet=cfg.encoder.prenet,
             gin_channels=cfg.gin_channels,
+            fused=cfg.get("fused_encoder", cfg.get("fused_blocks", False)),
         )
         self.decoder = FlowSpecDecoder(
             in_channels=ds.n_mels,

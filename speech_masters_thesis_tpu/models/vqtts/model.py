@@ -106,6 +106,7 @@ class VQTTS(TokenToWaveformModel):
             mean_only=cfg.encoder.mean_only,
             prenet=cfg.encoder.prenet,
             gin_channels=cfg.gin_channels,
+            fused=cfg.get("fused_encoder", cfg.get("fused_blocks", False)),
         )
         n_vocab = cfg.encoder.n_vocab + int(ds.intersperse_blanks)
         self.quant_bottleneck = GroupedBottleneck(

@@ -1,0 +1,171 @@
+"""Fused Pallas TextEncoder layer (ops/pallas/enc_layer.py) vs flax.
+
+Interpret mode on the CPU backend (conftest). Dropout needs the TPU hardware
+PRNG, so train-mode-with-dropout runs on hardware only (tools/attn_check.py
+--enc); here the kernel runs dropout-off (p_dropout=0), which covers the
+whole attention + relative-window + LayerNorm + FFN fusion, masking, length
+handling and the full gradient plumbing incl. the relative-table grads.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from speech_masters_thesis_tpu.models.glow_tts.encoder import TextEncoder
+
+
+def _mk(B=2, T=24, n_vocab=40, seed=0, full_len=False):
+    rng = np.random.RandomState(seed)
+    text = rng.randint(0, n_vocab, (B, T)).astype(np.int32)
+    lens = rng.randint(max(2, T // 2), T + 1, (B,)).astype(np.int32)
+    lens[0] = T
+    if full_len:
+        lens[:] = T
+    return jnp.asarray(text), jnp.asarray(lens)
+
+
+def _pair(C=16, heads=2, window=4, n_layers=2, filt=32, k=3, prenet=True,
+          n_vocab=40, p_dropout=0.0):
+    kw = dict(n_vocab=n_vocab, out_channels=6, hidden_channels=C,
+              filter_channels=filt, filter_channels_dp=12, n_heads=heads,
+              n_layers=n_layers, kernel_size=k, p_dropout=p_dropout,
+              window_size=window, mean_only=False, prenet=prenet)
+    return TextEncoder(fused=False, **kw), TextEncoder(fused=True, **kw)
+
+
+def test_param_tree_identical():
+    ref, fus = _pair()
+    text, lens = _mk()
+    v_ref = ref.init({"params": jax.random.PRNGKey(0)}, text, lens, train=False)
+    v_fus = fus.init({"params": jax.random.PRNGKey(0)}, text, lens, train=False)
+    assert jax.tree_util.tree_structure(v_ref) == jax.tree_util.tree_structure(v_fus)
+    assert jax.tree.map(lambda a: a.shape, v_ref) == jax.tree.map(lambda a: a.shape, v_fus)
+    # identical init values too (path-derived RNG)
+    for a, b in zip(jax.tree_util.tree_leaves(v_ref), jax.tree_util.tree_leaves(v_fus)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _assert_outputs_close(o_ref, o_fus, lens, rtol=3e-5, atol=3e-5):
+    x_m_r, x_logs_r, logw_r, mask = o_ref
+    x_m_f, x_logs_f, logw_f, _ = o_fus
+    m = np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(x_m_r) * m, np.asarray(x_m_f) * m,
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(x_logs_r) * m, np.asarray(x_logs_f) * m,
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(logw_r) * m[..., 0],
+                               np.asarray(logw_f) * m[..., 0],
+                               rtol=rtol, atol=atol)
+
+
+def test_forward_parity():
+    ref, fus = _pair()
+    text, lens = _mk()
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, text, lens, train=False)
+    o_ref = ref.apply(variables, text, lens, train=False)
+    o_fus = fus.apply(variables, text, lens, train=False)
+    _assert_outputs_close(o_ref, o_fus, lens)
+
+
+@pytest.mark.parametrize("heads,window,T,k", [(1, 4, 16, 3), (2, 2, 24, 5),
+                                              (4, 4, 33, 3), (2, 4, 5, 3)])
+def test_shape_sweep_forward(heads, window, T, k):
+    """Incl. T smaller than the window (table slicing regime) and odd T."""
+    ref, fus = _pair(heads=heads, window=window, k=k, prenet=False)
+    text, lens = _mk(T=T, seed=T)
+    variables = ref.init({"params": jax.random.PRNGKey(2)}, text, lens, train=False)
+    o_ref = ref.apply(variables, text, lens, train=False)
+    o_fus = fus.apply(variables, text, lens, train=False)
+    _assert_outputs_close(o_ref, o_fus, lens)
+
+
+def test_gradient_parity():
+    # p_dropout=0 + train=True engages the fused path off-TPU with grads
+    ref, fus = _pair(p_dropout=0.0)
+    text, lens = _mk(seed=1)
+    variables = ref.init({"params": jax.random.PRNGKey(1)}, text, lens, train=True)
+
+    def loss(block):
+        def f(v):
+            # prenet has hardcoded p=0.1 dropout; identical module path in
+            # both variants -> identical mask, so gradients stay comparable
+            x_m, x_logs, logw, mask = block.apply(
+                v, text, lens, train=True,
+                rngs={"dropout": jax.random.PRNGKey(7)})
+            return (jnp.sum((x_m * mask) ** 2) + jnp.sum(x_logs * mask)
+                    + jnp.sum((logw * mask[..., 0]) ** 2))
+        return f
+
+    g_ref = jax.grad(loss(ref))(variables)
+    g_fus = jax.grad(loss(fus))(variables)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g_fus)[0]):
+        a, b = np.asarray(a), np.asarray(b)
+        # floor the scale at 1e-2: analytically-zero grads (e.g. conv_k.bias
+        # — softmax is shift-invariant per row) are pure f32 noise ~1e-6 in
+        # BOTH paths and must not be compared at their own magnitude
+        scale = max(np.abs(a).max(), 1e-2)
+        np.testing.assert_allclose(
+            a, b, rtol=5e-4, atol=5e-4 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}")
+
+
+def test_masked_positions_do_not_leak():
+    """Changing pad-region tokens must not change valid-position outputs."""
+    _, fus = _pair(prenet=False)
+    text, lens = _mk(T=24, seed=2)
+    lens = lens.at[0].set(13)
+    variables = fus.init({"params": jax.random.PRNGKey(3)}, text, lens, train=False)
+    o1 = fus.apply(variables, text, lens, train=False)
+    text2 = text.at[0, 13:].set((text[0, 13:] + 7) % 40)
+    o2 = fus.apply(variables, text2, lens, train=False)
+    m = np.asarray(o1[3])
+    np.testing.assert_allclose(np.asarray(o1[0]) * m, np.asarray(o2[0]) * m,
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(o1[2]) * m[..., 0],
+                               np.asarray(o2[2]) * m[..., 0],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fallback_above_max_t():
+    """Above fused_max_t the module silently uses the flax path."""
+    kw = dict(n_vocab=40, out_channels=6, hidden_channels=16,
+              filter_channels=32, filter_channels_dp=12, n_heads=2,
+              n_layers=1, kernel_size=3, p_dropout=0.0, window_size=4,
+              mean_only=True, prenet=False)
+    fus = TextEncoder(fused=True, fused_max_t=16, **kw)
+    ref = TextEncoder(fused=False, **kw)
+    text, lens = _mk(T=32, seed=4)
+    variables = ref.init({"params": jax.random.PRNGKey(4)}, text, lens, train=False)
+    o_ref = ref.apply(variables, text, lens, train=False)
+    o_fus = fus.apply(variables, text, lens, train=False)
+    for a, b in zip(o_ref[:3], o_fus[:3]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_shard_map_data_parallel():
+    """Under an active 8-device data mesh the kernel partitions per shard
+    (output stays sharded, not replicated) and matches single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speech_masters_thesis_tpu.parallel.mesh import make_data_mesh
+
+    ref, fus = _pair(prenet=False)
+    text, lens = _mk(B=8, T=24, seed=5)
+    variables = ref.init({"params": jax.random.PRNGKey(5)}, text, lens, train=False)
+    o_single = fus.apply(variables, text, lens, train=False)
+
+    mesh = make_data_mesh()  # publishes the ambient mesh
+    ts = jax.device_put(text, NamedSharding(mesh, P("data")))
+    ls = jax.device_put(lens, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def sharded(v, t, l):
+        return fus.apply(v, t, l, train=False)[0]
+
+    o_sharded = sharded(variables, ts, ls)
+    assert o_sharded.sharding.spec == P("data"), o_sharded.sharding
+    np.testing.assert_allclose(np.asarray(o_single[0]), np.asarray(o_sharded),
+                               rtol=2e-5, atol=2e-5)

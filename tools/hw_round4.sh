@@ -40,9 +40,12 @@ run fused_check    python -m tools.fused_check
 run wn_check       python -m tools.wn_check
 run flash_check    python -m tools.flash_check
 run attn_check     python -m tools.attn_check
+run enc_check      python -m tools.enc_check
 
 # 2. A/B variants (logged only; defaults re-run last into results.json)
 run glow_condonly  env GLOW_FLOW_STEP=0 python -m benchmarks.run_benchmarks --only glow_train
+run glow_noenc     env GLOW_ENC=0 python -m benchmarks.run_benchmarks --only glow_train
+run vqtts_noenc    env VQTTS_ENC=0 python -m benchmarks.run_benchmarks --only vqtts_train
 run glow_unfused   env GLOW_FUSED=0 python -m benchmarks.run_benchmarks --only glow_train
 run vqtts_unfused  env VQTTS_FUSED=0 python -m benchmarks.run_benchmarks --only vqtts_train
 run lm_unfused     env LM_FUSED=0 python -m benchmarks.run_benchmarks --only lm_train
