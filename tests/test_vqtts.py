@@ -118,6 +118,27 @@ def test_vqtts_eval_decodes_predicted_codes(vqtts):
     assert np.isfinite(np.asarray(loss_dict["yh"])).all()
 
 
+def test_vqtts_model_fused_forward_matches(vqtts):
+    """Whole VQTTS eval forward: fused codec blocks + fused TextEncoder
+    layers (model.fused_blocks / model.fused_encoder) == unfused, same
+    variables (identical param tree). Guards the model-level wiring of
+    ops/pallas/{gated_hifi,enc_layer}.py — the component kernels have their
+    own parity suites."""
+    model, variables, tokens, token_lens, audio, audio_lens = vqtts
+    cfg_fus = Config({**VQTTS_CONFIG,
+                      "model": {**VQTTS_CONFIG["model"],
+                                "fused_blocks": True, "fused_encoder": True}})
+    model_fus = VQTTS(config=cfg_fus.to_dict())
+    (ld_ref, _) = model.apply(variables, tokens, token_lens, audio, audio_lens,
+                              train=False)
+    (ld_fus, _) = model_fus.apply(variables, tokens, token_lens, audio,
+                                  audio_lens, train=False)
+    np.testing.assert_allclose(float(ld_ref["loss"]), float(ld_fus["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_ref["yh"]),
+                               np.asarray(ld_fus["yh"]), rtol=1e-3, atol=1e-4)
+
+
 def test_vqtts_gradients(vqtts):
     model, variables, tokens, token_lens, audio, audio_lens = vqtts
     key = jax.random.PRNGKey(3)
