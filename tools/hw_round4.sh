@@ -60,6 +60,13 @@ run prof_glow      python -m tools.perf_profile --model glow
 run prof_vqtts     python -m tools.perf_profile --model vqtts
 run prof_lm        python -m tools.perf_profile --model lm
 
+# 4b. dispatch-latency decomposition (VERDICT r3 #4): per-dispatch vs
+# scan-of-K per-step time; scan/K << per-dispatch proves the batch-8 LM
+# gap is host/tunnel execute latency, not on-device inefficiency
+run disp_lm        python -m tools.dispatch_probe --model lm
+run disp_glow      python -m tools.dispatch_probe --model glow
+run disp_vqtts     python -m tools.dispatch_probe --model vqtts
+
 # 5. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
 run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
                        --dataset tests/fixtures/ljspeech_tiny.yaml \
