@@ -579,6 +579,10 @@ def main():
     parser.add_argument("--only", type=str, default=None,
                         choices=[None, "lm", "glow", "glow_train", "mas",
                                  "vqtts_train", "lm_train"])
+    parser.add_argument("--no-save", action="store_true",
+                        help="print JSON but do not merge into results.json "
+                             "(A/B variant runs: results.json must only ever "
+                             "hold the shipped default configuration)")
     args = parser.parse_args()
 
     from speech_masters_thesis_tpu.parallel.mesh import enable_compilation_cache
@@ -606,6 +610,8 @@ def main():
 
     # Merge into the stored results so --only runs don't clobber the rest
     # (round-1 VERDICT weak #5).
+    if args.no_save:
+        return
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     stored = {}
     if os.path.exists(out):

@@ -4,9 +4,14 @@
 # Runs every queued parity check and benchmark sequentially on the real
 # chip — ONE TPU process at a time, generous timeouts (first compiles on
 # this 1-core host can take minutes; timeout SIGTERM during a long compile
-# has wedged the remote lease, so budgets are >= 1500 s). A/B variants run
-# BEFORE the final default runs so benchmarks/results.json ends up holding
-# the shipped configuration.
+# has wedged the remote lease, so budgets are >= 1500 s).
+#
+# ORDERED BY VALUE: if the lease recovers late in the round and dies again
+# partway through, the records that matter most must already be on disk —
+# (1) the round-3 kernel parity contracts, (2) the headline bench, (3) the
+# default-config results.json of record, then traces / probes / A/Bs.
+# A/B variant runs use --no-save so results.json only ever holds the
+# shipped default configuration regardless of where the queue stops.
 #
 # Usage: bash tools/hw_round4.sh [start_step]   # logs to /tmp/hw_r4/
 set -u
@@ -38,34 +43,34 @@ run() {
 # 1. kernel parity checks on hardware (round-3 contracts never chip-verified)
 run fused_check    python -m tools.fused_check
 run wn_check       python -m tools.wn_check
-run flash_check    python -m tools.flash_check
-run attn_check     python -m tools.attn_check
 run enc_check      python -m tools.enc_check
+run attn_check     python -m tools.attn_check
+run flash_check    python -m tools.flash_check
 
-# 2. A/B variants (logged only; defaults re-run last into results.json)
-run glow_condonly  env GLOW_FLOW_STEP=0 python -m benchmarks.run_benchmarks --only glow_train
-run glow_noenc     env GLOW_ENC=0 python -m benchmarks.run_benchmarks --only glow_train
-run vqtts_noenc    env VQTTS_ENC=0 python -m benchmarks.run_benchmarks --only vqtts_train
-run glow_unfused   env GLOW_FUSED=0 python -m benchmarks.run_benchmarks --only glow_train
-run vqtts_unfused  env VQTTS_FUSED=0 python -m benchmarks.run_benchmarks --only vqtts_train
-run lm_unfused     env LM_FUSED=0 python -m benchmarks.run_benchmarks --only lm_train
-run lm_batch64     env LM_BATCH=64 python -m benchmarks.run_benchmarks --only lm_train
-
-# 3. headline bench + the full default auxiliary suite (results.json of record)
+# 2. headline bench + the full default auxiliary suite (results.json of record)
 run bench          python bench.py
 run benchmarks     python -m benchmarks.run_benchmarks
 
-# 4. device traces for the MFU work (items 2-4): op-time decomposition
+# 3. device traces for the MFU work (VERDICT r3 #2-4): op-time decomposition
 run prof_glow      python -m tools.perf_profile --model glow
 run prof_vqtts     python -m tools.perf_profile --model vqtts
 run prof_lm        python -m tools.perf_profile --model lm
 
-# 4b. dispatch-latency decomposition (VERDICT r3 #4): per-dispatch vs
+# 3b. dispatch-latency decomposition (VERDICT r3 #4): per-dispatch vs
 # scan-of-K per-step time; scan/K << per-dispatch proves the batch-8 LM
 # gap is host/tunnel execute latency, not on-device inefficiency
 run disp_lm        python -m tools.dispatch_probe --model lm
 run disp_glow      python -m tools.dispatch_probe --model glow
 run disp_vqtts     python -m tools.dispatch_probe --model vqtts
+
+# 4. A/B variants (print-only: --no-save keeps results.json at defaults)
+run glow_condonly  env GLOW_FLOW_STEP=0 python -m benchmarks.run_benchmarks --only glow_train --no-save
+run glow_noenc     env GLOW_ENC=0 python -m benchmarks.run_benchmarks --only glow_train --no-save
+run vqtts_noenc    env VQTTS_ENC=0 python -m benchmarks.run_benchmarks --only vqtts_train --no-save
+run glow_unfused   env GLOW_FUSED=0 python -m benchmarks.run_benchmarks --only glow_train --no-save
+run vqtts_unfused  env VQTTS_FUSED=0 python -m benchmarks.run_benchmarks --only vqtts_train --no-save
+run lm_unfused     env LM_FUSED=0 python -m benchmarks.run_benchmarks --only lm_train --no-save
+run lm_batch64     env LM_BATCH=64 python -m benchmarks.run_benchmarks --only lm_train --no-save
 
 # 5. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
 run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
@@ -76,3 +81,16 @@ run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
 
 echo "ALL DONE — summaries:"
 grep -h '"metric"' "$LOG"/*.log 2>/dev/null | head -40
+
+# Persist evidence into the repo (the /tmp logs don't survive the round;
+# the driver commits uncommitted work at round end).
+DEST=benchmarks/hw_logs
+mkdir -p "$DEST"
+{
+    echo "# round-4 hardware queue records — $(date -u +%FT%TZ)"
+    for f in "$LOG"/*.log; do
+        echo; echo "== $(basename "$f" .log)"
+        tail -n 60 "$f"
+    done
+} > "$DEST/r4_records.txt"
+echo "records -> $DEST/r4_records.txt"
