@@ -58,16 +58,11 @@ def _to_bf16(tree):
     return jax.tree.map(cast, tree)
 
 
-def make_train_step(model, tx: optax.GradientTransformation, ema_mu: float,
-                    use_ema: bool, mesh=None, bf16: bool = False) -> Callable:
-    """Builds the jitted train step: (state, batch, rng) -> (state, scalars).
-
-    bf16=True runs activations in bfloat16 (params cast inside the loss so
-    master weights, optimizer moments and gradients stay fp32 — the cast is
-    differentiable and its cotangent upcasts). Parity-critical ops (STFT
-    losses, VQ distance argmin) pin fp32 internally regardless. No loss
-    scaling is needed for bf16 (8-bit exponent).
-    """
+def _build_step_fn(model, tx: optax.GradientTransformation, ema_mu: float,
+                   use_ema: bool, bf16: bool = False) -> Callable:
+    """The raw (state, batch, rng) -> (state, scalars) train-step body,
+    shared by make_train_step (jitted per dispatch) and
+    make_train_multistep (scanned K times inside one program)."""
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -99,11 +94,68 @@ def make_train_step(model, tx: optax.GradientTransformation, ema_mu: float,
         scalars["finite"] = jnp.isfinite(loss_dict["loss"])
         return new_state, scalars
 
+    return step_fn
+
+
+def _jit_step(step_fn: Callable, mesh) -> Callable:
     kwargs = {"donate_argnums": (0,)}
     if mesh is not None:
         state_sharding = replicated(mesh)
         kwargs["out_shardings"] = (state_sharding, state_sharding)
     return jax.jit(step_fn, **kwargs)
+
+
+def make_train_step(model, tx: optax.GradientTransformation, ema_mu: float,
+                    use_ema: bool, mesh=None, bf16: bool = False) -> Callable:
+    """Builds the jitted train step: (state, batch, rng) -> (state, scalars).
+
+    bf16=True runs activations in bfloat16 (params cast inside the loss so
+    master weights, optimizer moments and gradients stay fp32 — the cast is
+    differentiable and its cotangent upcasts). Parity-critical ops (STFT
+    losses, VQ distance argmin) pin fp32 internally regardless. No loss
+    scaling is needed for bf16 (8-bit exponent).
+    """
+    return _jit_step(_build_step_fn(model, tx, ema_mu, use_ema, bf16), mesh)
+
+
+def make_train_multistep(model, tx: optax.GradientTransformation, ema_mu: float,
+                         use_ema: bool, steps_per_dispatch: int, mesh=None,
+                         bf16: bool = False) -> Callable:
+    """K train steps per host dispatch: (state, K-batch, rng) -> (state, scalars[K]).
+
+    On this image the per-dispatch fixed cost (host Python + the tunnel's
+    execute round trip) is a measurable share of small reference-scale steps
+    (tools/dispatch_probe). Scanning K steps inside ONE compiled program
+    amortizes it K-fold with identical per-step semantics: the step body
+    folds its PRNG from ``state.step`` (which increments in the carry), so
+    scanned iteration k draws exactly the stream the k-th sequential
+    dispatch would have drawn. Equality is tested, not assumed
+    (tests/test_multistep.py) — same losses and updates up to last-ulp
+    reassociation (the scanned program fuses differently).
+
+    The input batch is K loader batches concatenated on the batch axis
+    (leaves ``[K*B, ...]``, sharded on 'data' like any batch); the program
+    reshapes to ``[K, B, ...]`` and ``lax.scan``s the shared step body over
+    the leading axis. Requires constant batch shapes across the group —
+    i.e. fixed-segment/fixed-token datasets (VQ-VAE/VQ-TTS crops, the LM's
+    BOS+256 tokens); train_epoch raises a clear error otherwise and
+    single-steps any end-of-epoch remainder.
+    """
+    step_fn = _build_step_fn(model, tx, ema_mu, use_ema, bf16)
+    k = int(steps_per_dispatch)
+    assert k >= 2, "steps_per_dispatch must be >= 2 (use make_train_step for 1)"
+
+    def multi_fn(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        def split(x):
+            assert x.shape[0] % k == 0, (
+                f"stacked batch axis {x.shape[0]} not divisible by "
+                f"steps_per_dispatch={k}")
+            return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+        stacked = jax.tree.map(split, batch)
+        return jax.lax.scan(lambda s, b: step_fn(s, b, rng), state, stacked)
+
+    return _jit_step(multi_fn, mesh)
 
 
 def make_val_step(model, use_ema: bool) -> Callable:
@@ -122,6 +174,30 @@ class NanLossError(RuntimeError):
     pass
 
 
+def _concat_batches(group) -> Dict[str, Any]:
+    """Concatenates K loader batches on the batch axis for one multistep
+    dispatch. Constant shapes are required — lax.scan needs a uniform
+    [K, B, ...] stack, so steps_per_dispatch only composes with
+    fixed-segment/fixed-token datasets (one bucket)."""
+    out: Dict[str, Any] = {}
+    for key in group[0]:
+        vals = [b[key] for b in group]
+        if any(v is None for v in vals):
+            assert all(v is None for v in vals), \
+                f"'{key}' elided in some batches of the group but not others"
+            out[key] = None
+            continue
+        shapes = {np.shape(v) for v in vals}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"steps_per_dispatch needs constant batch shapes but '{key}' "
+                f"varies across the group: {sorted(shapes)}. Use a "
+                f"fixed-segment/fixed-token dataset (single bucket) or "
+                f"steps_per_dispatch=1.")
+        out[key] = np.concatenate([np.asarray(v) for v in vals], axis=0)
+    return out
+
+
 def train_epoch(
     *,
     state: TrainState,
@@ -135,23 +211,41 @@ def train_epoch(
     writer=None,
     save_ckpt: Optional[Callable] = None,
     progress: bool = True,
+    train_multistep: Optional[Callable] = None,
 ) -> Tuple[TrainState, int]:
-    """One training epoch; logs averaged stats every log_every_n_steps."""
+    """One training epoch; logs averaged stats every log_every_n_steps.
+
+    With ``train_multistep`` (and config.train.steps_per_dispatch = K > 1),
+    K loader batches are concatenated and dispatched as one program; the
+    log/ckpt cadences fire whenever the step counter CROSSES a multiple of
+    the interval (identical to the modulo check at K=1)."""
     from tqdm import tqdm
 
     losses: Dict[str, float] = defaultdict(float)
     pending = []  # scalars awaiting host transfer, drained at log cadence
     log_every = config.train.log_every_n_steps
+    k = int(config.train.get("steps_per_dispatch", 1) or 1)
+    if train_multistep is None:
+        k = 1
 
     def drain(at_step: int) -> None:
         """Single host sync for the window; NaN check on every drained step."""
         nonlocal pending, losses
         if not pending:
             return
-        window = len(pending)
         host = jax.device_get(pending)
         pending = []
+        # multistep entries hold stacked [K] scalars — expand to per-step dicts
+        expanded = []
         for s in host:
+            if np.ndim(next(iter(s.values()))) == 0:
+                expanded.append(s)
+            else:
+                expanded.extend(
+                    {key: val[i] for key, val in s.items()}
+                    for i in range(len(next(iter(s.values())))))
+        window = len(expanded)
+        for s in expanded:
             if not bool(s.pop("finite", True)):
                 logger.error("Loss stats at failure: %s", {k: float(v) for k, v in s.items()})
                 raise NanLossError(f"Nan detected in loss near step {at_step}")
@@ -180,16 +274,32 @@ def train_epoch(
     it = iter(iterator)
     while True:
         t0 = _time.perf_counter()
-        try:
-            batch = next(it)
-        except StopIteration:
-            break
+        group = []
+        while len(group) < k:
+            try:
+                group.append(next(it))
+            except StopIteration:
+                break
         data_wait += _time.perf_counter() - t0
-        device_batch = shard_batch(mesh, batch)
-        state, scalars = train_step(state, device_batch, rng)
-        global_step += 1
-        steps_this_epoch += 1
-        pending.append(scalars)
+        if not group:
+            break
+
+        if len(group) == k and k > 1:
+            device_batch = shard_batch(mesh, _concat_batches(group))
+            state, scalars = train_multistep(state, device_batch, rng)
+            pending.append(scalars)
+            done = k
+        else:
+            # k == 1, or the end-of-epoch remainder: plain single steps
+            done = 0
+            for batch in group:
+                device_batch = shard_batch(mesh, batch)
+                state, scalars = train_step(state, device_batch, rng)
+                pending.append(scalars)
+                done += 1
+        prev_step = global_step
+        global_step += done
+        steps_this_epoch += done
 
         if profiling and global_step >= profile_steps:
             jax.device_get(scalars["loss"])  # real barrier (axon: block_until_ready is a no-op)
@@ -198,13 +308,15 @@ def train_epoch(
             logger.info("Wrote profiler trace for first %d steps to %s",
                         profile_steps, config.train.log_dir)
 
-        if global_step % log_every == 0:
+        if global_step // log_every > prev_step // log_every:
             drain(global_step)
             if progress:
-                iterator.set_postfix({k: f"{v:.4f}" for k, v in list(losses.items())[:6]})
+                iterator.set_postfix({key: f"{v:.4f}" for key, v in list(losses.items())[:6]})
             losses = defaultdict(float)
 
-        if save_ckpt is not None and global_step % config.train.ckpt_every_n_steps == 0:
+        if save_ckpt is not None and \
+                global_step // config.train.ckpt_every_n_steps \
+                > prev_step // config.train.ckpt_every_n_steps:
             save_ckpt(state, global_step, epoch)
 
     # Flush the trailing window: steps after the last log boundary would

@@ -53,6 +53,13 @@ def parse_args():
                         help="Annealing horizon for scheduler: cosine (T_max)")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="Capture a device trace of the first N train steps")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="Run K train steps per host dispatch (lax.scan "
+                             "inside one program) to amortize the fixed "
+                             "dispatch cost of small steps; per-step PRNG "
+                             "streams and update math match K=1 (equality "
+                             "tested). Requires constant batch shapes "
+                             "(fixed-segment/fixed-token datasets)")
     parser.add_argument("--prng_impl", type=str, default="threefry",
                         choices=["threefry", "rbg"],
                         help="JAX PRNG implementation. 'rbg' uses the "
@@ -98,6 +105,7 @@ def build_config(args):
             "max_steps": args.max_steps,
             "total_steps": args.total_steps,
             "profile_steps": args.profile_steps,
+            "steps_per_dispatch": args.steps_per_dispatch,
         }
     })
     return model_config.merge(dataset_config, train_config)
@@ -140,7 +148,13 @@ def main():
         load_pretrained_submodules,
         print_top_level_summary,
     )
-    from speech_masters_thesis_tpu.train.loop import make_train_step, make_val_step, train_epoch, val_epoch
+    from speech_masters_thesis_tpu.train.loop import (
+        make_train_multistep,
+        make_train_step,
+        make_val_step,
+        train_epoch,
+        val_epoch,
+    )
     from speech_masters_thesis_tpu.train.optim import build_optimizer
     from speech_masters_thesis_tpu.train.state import TrainState
     from speech_masters_thesis_tpu.utils.config import setup_logdir
@@ -205,6 +219,13 @@ def main():
     ema_mu = default_mu(config.train.batch_size, 1)
     train_step = make_train_step(model, tx, ema_mu, config.train.ema, mesh,
                                  bf16=config.train.bf16)
+    train_multistep = None
+    if int(config.train.get("steps_per_dispatch", 1) or 1) > 1:
+        train_multistep = make_train_multistep(
+            model, tx, ema_mu, config.train.ema,
+            int(config.train.steps_per_dispatch), mesh, bf16=config.train.bf16)
+        logger.info("Dispatching %d train steps per host call (lax.scan)",
+                    int(config.train.steps_per_dispatch))
     val_step = make_val_step(model, config.train.ema)
     artifact_fn = (save_audio_and_computed_spect if TASK_OUTPUT[type(model).TASK] == "waveform"
                    else save_spect_and_inverted_audio)
@@ -231,6 +252,7 @@ def main():
                 state=state, global_step=global_step, epoch=epoch, config=config,
                 mesh=mesh, train_step=train_step, dataloader=train_loader,
                 rng=step_rng, writer=writer, save_ckpt=ckpt_cb,
+                train_multistep=train_multistep,
             )
             epoch += 1
             if epoch % config.train.eval_every_n_epochs == 0:
