@@ -32,12 +32,14 @@ run() {
     [ "$N" -lt "$START" ] && { echo "[$N] skip $name"; return; }
     if ! probe; then
         echo "[$N] LEASE WEDGED before $name — aborting queue (resume: bash tools/hw_round4.sh $N)"
+        echo "$N" > "$LOG/.resume_step"   # watcher auto-resumes from here
         exit 1
     fi
     echo "[$N] $name: $*"
     local t0=$SECONDS
     timeout 2400 "$@" > "$LOG/$name.log" 2>&1
     echo "[$N] $name rc=$? (${LOG}/$name.log, $((SECONDS - t0))s)"
+    echo "$((N + 1))" > "$LOG/.resume_step"
 }
 
 # 1. kernel parity checks on hardware (round-3 contracts never chip-verified)

@@ -1,0 +1,36 @@
+#!/bin/bash
+# TPU-lease watcher: probes every 8 min; on recovery runs the round's
+# hardware queue (tools/hw_round4.sh). If the lease dies mid-queue, goes
+# back to probing and resumes the queue from the step it aborted at
+# (/tmp/hw_r4/.resume_step). One TPU process at a time is preserved: the
+# queue serializes its own steps and the watcher never overlaps probes
+# with a running queue.
+#
+# Launch detached:  setsid nohup bash tools/tpu_watcher.sh >/dev/null 2>&1 &
+# Flags: /tmp/tpu_ok (lease alive), /tmp/hw_r4_running, /tmp/hw_r4_done (rc).
+cd "$(dirname "$0")/.."
+rm -f /tmp/tpu_ok /tmp/hw_r4_done
+for i in $(seq 1 80); do
+  echo "$(date +%H:%M:%S) probe $i" >> /tmp/tpu_probe_r4.log
+  if timeout 75 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" >> /tmp/tpu_probe_r4.log 2>&1; then
+    echo "TPU RECOVERED at $(date)" >> /tmp/tpu_probe_r4.log
+    touch /tmp/tpu_ok /tmp/hw_r4_running
+    RESUME=$(cat /tmp/hw_r4/.resume_step 2>/dev/null || echo 0)
+    bash tools/hw_round4.sh "$RESUME" >> /tmp/hw_r4_queue.log 2>&1
+    rc=$?
+    rm -f /tmp/hw_r4_running
+    echo "queue attempt rc=$rc at $(date)" >> /tmp/tpu_probe_r4.log
+    if [ "$rc" -eq 0 ]; then
+      echo "$rc" > /tmp/hw_r4_done
+      exit 0
+    fi
+    # lease died mid-queue: fall through and keep probing; next recovery
+    # resumes from .resume_step
+    rm -f /tmp/tpu_ok
+  else
+    echo "  still wedged" >> /tmp/tpu_probe_r4.log
+  fi
+  sleep 480
+done
+echo "TPU never recovered within the watch window" >> /tmp/tpu_probe_r4.log
+exit 1
