@@ -82,7 +82,12 @@ def _probe_backend(timeout_s: float):
 
 
 def main():
-    _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
+    # 300 s for ONE tiny op (init + ones(8,8).sum()): far above any healthy
+    # cold-init + tunnel latency seen on this image (seconds), so the
+    # watchdog's hard exit only ever fires on a genuinely wedged lease —
+    # hard-exiting a trivial-op client is the documented probe-recovery
+    # pattern (CLAUDE.md), unlike SIGTERM during a long compile.
+    _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", "300")))
     import jax
 
     from speech_masters_thesis_tpu.models.ema import default_mu

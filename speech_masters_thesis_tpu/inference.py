@@ -54,11 +54,15 @@ class GlowTTSSynthesizer:
             # every synthesize() call; tiny build shapes keep it cheap
             from speech_masters_thesis_tpu.models.glow_tts.flows import build_flow_cache
 
-            self.variables = build_flow_cache(
+            # jit the build: eager apply would dispatch the whole generation
+            # graph op-by-op (LU inverse per flow block, MAS) — minutes of
+            # per-op dispatch on a weak host (scripts/synthesize.py does the
+            # same)
+            self.variables = jax.jit(lambda r: build_flow_cache(
                 self.model, self.variables,
                 jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32),
-                jax.random.PRNGKey(0), max_frames=max(16, 4 * 4),
-                noise_scale=0.0, method=GlowTTS.infer)
+                r, max_frames=max(16, 4 * 4),
+                noise_scale=0.0, method=GlowTTS.infer))(jax.random.PRNGKey(0))
 
         def _infer(tokens, lens, rng, noise_scale):
             return self.model.apply(self.variables, tokens, lens, rng,

@@ -56,12 +56,15 @@ def save_checkpoint(config, global_step: int, epoch: int, state: TrainState) -> 
 
 
 def _stored_keys(checkpointer: "ocp.PyTreeCheckpointer", path: str):
-    """Top-level keys of a saved checkpoint tree (orbax StepMetadata)."""
+    """Top-level keys of a saved checkpoint tree, or None if the orbax
+    metadata object matches no known shape (API drift) — the caller must
+    then assume the current format rather than silently dropping keys
+    (an empty-set fallback would skip the prng-impl guard entirely)."""
     meta = checkpointer.metadata(os.path.abspath(path))
     tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
     if tree is None:  # older orbax: metadata IS the tree
         tree = meta
-    return set(tree.keys()) if hasattr(tree, "keys") else set()
+    return set(tree.keys()) if hasattr(tree, "keys") else None
 
 
 def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, int]:
@@ -77,7 +80,11 @@ def restore_checkpoint(path: str, state: TrainState) -> Tuple[TrainState, int, i
     # Probe the stored structure instead of try/except-retrying: a genuinely
     # corrupt checkpoint then surfaces its real error, and pre-round-3
     # checkpoints (no prng_impl_id) restore cleanly without the impl check.
-    if "prng_impl_id" not in _stored_keys(checkpointer, path):
+    # Unknown metadata shape (None) => keep the key: current-format
+    # checkpoints stay restorable and the impl guard stays armed; only a
+    # provably key-less (old-format) checkpoint drops it.
+    stored = _stored_keys(checkpointer, path)
+    if stored is not None and "prng_impl_id" not in stored:
         template.pop("prng_impl_id")
     payload = checkpointer.restore(os.path.abspath(path), item=template)
     if "prng_impl_id" in payload:

@@ -169,3 +169,90 @@ def test_fused_shard_map_data_parallel():
     assert o_sharded.sharding.spec == P("data"), o_sharded.sharding
     np.testing.assert_allclose(np.asarray(o_single[0]), np.asarray(o_sharded),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_causal_lm_shape_vs_jnp_oracle():
+    """The causal/LM instantiation (window=None, k=1 Dense FFN, eps=1e-5 —
+    EncLayerSpec docstring) against an independent jnp oracle: forward and
+    full gradients. Keeps the documented LM-shape support honest even though
+    the shipped LM keeps its own fused-attention kernel (whole-layer fusion
+    rejected on VMEM arithmetic at C=512, docs/DESIGN.md)."""
+    from speech_masters_thesis_tpu.ops.pallas.enc_layer import (
+        NEG_MASK,
+        EncLayerSpec,
+        fused_enc_layer,
+    )
+
+    B, T, C, H, F = 2, 12, 16, 2, 32
+    D = C // H
+    spec = EncLayerSpec(channels=C, n_heads=H, window=None, filter_channels=F,
+                        kernel_size=1, p_drop=0.0, eps=1e-5, causal=True,
+                        interpret=True)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32) * 0.5)
+    lens = jnp.asarray(np.array([T, T - 4], np.int32))
+    shapes = {"wq": (C, C), "bq": (1, C), "wk": (C, C), "bk": (1, C),
+              "wv": (C, C), "bv": (1, C), "wo": (C, C), "bo": (1, C),
+              "g1": (1, C), "be1": (1, C), "w1": (1, C, F), "b1": (1, F),
+              "w2": (1, F, C), "b2": (1, C), "g2": (1, C), "be2": (1, C)}
+    params = tuple(jnp.asarray(rng.randn(*shapes[n]).astype(np.float32) * 0.3
+                               + (1.0 if n.startswith("g") else 0.0))
+                   for n in spec.param_names)
+
+    def ln(z, gamma, beta):
+        mu = jnp.mean(z, -1, keepdims=True)
+        var = jnp.mean(z * z, -1, keepdims=True) - mu * mu
+        return (z - mu) * jax.lax.rsqrt(jnp.maximum(var, 0.0) + spec.eps) \
+            * gamma + beta
+
+    def oracle(x, *params):
+        p = dict(zip(spec.param_names, params))
+        # [B, T, 1] validity
+        valid = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)[..., None]
+        xm = x * valid
+        q = xm @ p["wq"] + p["bq"]
+        k = xm @ p["wk"] + p["bk"]
+        v = xm @ p["wv"] + p["bv"]
+        row2 = jnp.arange(T)[:, None]
+        col2 = jnp.arange(T)[None, :]
+        smask = (col2 <= row2)[None] & (col2[None] < lens[:, None, None])
+        heads = []
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            s = jnp.einsum("btd,bsd->bts", q[..., sl], k[..., sl]) / np.sqrt(D)
+            s = jnp.where(smask, s, NEG_MASK)
+            pr = jax.nn.softmax(s, axis=-1)
+            heads.append(jnp.einsum("bts,bsd->btd", pr, v[..., sl]))
+        att = jnp.concatenate(heads, -1)
+        y = att @ p["wo"] + p["bo"]
+        x1 = ln(xm + y, p["g1"], p["be1"])
+        c1 = jnp.maximum((x1 * valid) @ p["w1"][0] + p["b1"], 0.0)
+        y2 = ((c1 * valid) @ p["w2"][0] + p["b2"]) * valid
+        return ln(x1 + y2, p["g2"], p["be2"])
+
+    seed = jax.lax.bitcast_convert_type(jnp.int32(0), jnp.float32)
+    loss_mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)[..., None]
+
+    def loss_kernel(x, *ps):
+        out = fused_enc_layer(spec, seed, lens, x, *ps)
+        return jnp.sum((out * loss_mask) ** 2)
+
+    def loss_oracle(x, *ps):
+        return jnp.sum((oracle(x, *ps) * loss_mask) ** 2)
+
+    o_k = fused_enc_layer(spec, seed, lens, x, *params)
+    o_o = oracle(x, *params)
+    np.testing.assert_allclose(np.asarray(o_k * loss_mask),
+                               np.asarray(o_o * loss_mask),
+                               rtol=3e-5, atol=3e-5)
+
+    g_k = jax.grad(loss_kernel, argnums=(0,) + tuple(range(1, 1 + len(params))))(x, *params)
+    g_o = jax.grad(loss_oracle, argnums=(0,) + tuple(range(1, 1 + len(params))))(x, *params)
+    np.testing.assert_allclose(np.asarray(g_k[0] * loss_mask),
+                               np.asarray(g_o[0] * loss_mask),
+                               rtol=2e-4, atol=2e-4)
+    for name, a, b in zip(("x",) + spec.param_names, g_k, g_o):
+        if name == "x":
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

@@ -38,7 +38,18 @@ run() {
     echo "[$N] $name: $*"
     local t0=$SECONDS
     timeout 2400 "$@" > "$LOG/$name.log" 2>&1
-    echo "[$N] $name rc=$? (${LOG}/$name.log, $((SECONDS - t0))s)"
+    local rc=$?
+    echo "[$N] $name rc=$rc (${LOG}/$name.log, $((SECONDS - t0))s)"
+    if [ "$rc" -eq 124 ] && [ ! -e "$LOG/.retried_$N" ]; then
+        # timeout usually means the lease wedged DURING the step — retry it
+        # once on the next watcher recovery instead of skipping its record
+        # (but only once: a step that wedges the lease every time must not
+        # loop forever)
+        touch "$LOG/.retried_$N"
+        echo "$N" > "$LOG/.resume_step"
+        echo "[$N] $name timed out — queued for ONE retry, aborting to re-probe"
+        exit 1
+    fi
     echo "$((N + 1))" > "$LOG/.resume_step"
 }
 
