@@ -608,6 +608,18 @@ def main():
         results["lm_train"] = bench_lm_train(args.quick)
         print(json.dumps(results["lm_train"]))
 
+    # Provenance: stamp every freshly-measured record with when/where it was
+    # measured, so stale rows in results.json are distinguishable from the
+    # current round's (older rows simply lack the stamp).
+    import datetime
+
+    import jax
+    stamp = {"measured_utc": datetime.datetime.now(datetime.timezone.utc)
+             .strftime("%Y-%m-%dT%H:%MZ"),
+             "backend": jax.default_backend()}
+    for v in results.values():
+        v.update(stamp)
+
     # Merge into the stored results so --only runs don't clobber the rest
     # (round-1 VERDICT weak #5).
     if args.no_save:
