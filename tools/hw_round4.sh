@@ -13,10 +13,13 @@
 # A/B variant runs use --no-save so results.json only ever holds the
 # shipped default configuration regardless of where the queue stops.
 #
-# Usage: bash tools/hw_round4.sh [start_step]   # logs to /tmp/hw_r4/
+# Usage: bash tools/hw_round4.sh [start_step]   # logs to benchmarks/hw_logs/r4/
 set -u
 cd "$(dirname "$0")/.."
-LOG=/tmp/hw_r4
+# Logs + resume pointer live IN THE REPO, not /tmp: a session/VM restart
+# wipes /tmp (it did, between round-4 sessions), which would lose both the
+# evidence of a partially-run queue and the step to resume from.
+LOG=benchmarks/hw_logs/r4
 mkdir -p "$LOG"
 START=${1:-0}
 N=0
@@ -88,7 +91,7 @@ run lm_batch64     env LM_BATCH=64 python -m benchmarks.run_benchmarks --only lm
 # 5. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
 run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
                        --dataset tests/fixtures/ljspeech_tiny.yaml \
-                       --log_dir /tmp/hw_r4/smoke --batch_size 2 --total_epochs 1 \
+                       --log_dir /tmp/hw_r4_smoke --batch_size 2 --total_epochs 1 \
                        --log_every_n_steps 2 --ckpt_every_n_steps 4 \
                        --eval_every_n_epochs 1 --max_steps 6
 

@@ -2,7 +2,8 @@
 # TPU-lease watcher: probes every 8 min; on recovery runs the round's
 # hardware queue (tools/hw_round4.sh). If the lease dies mid-queue, goes
 # back to probing and resumes the queue from the step it aborted at
-# (/tmp/hw_r4/.resume_step). One TPU process at a time is preserved: the
+# (benchmarks/hw_logs/r4/.resume_step — in-repo so a session/VM restart,
+# which wipes /tmp, cannot lose it). One TPU process at a time is preserved: the
 # queue serializes its own steps and the watcher never overlaps probes
 # with a running queue.
 #
@@ -15,7 +16,7 @@ for i in $(seq 1 80); do
   if timeout 75 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" >> /tmp/tpu_probe_r4.log 2>&1; then
     echo "TPU RECOVERED at $(date)" >> /tmp/tpu_probe_r4.log
     touch /tmp/tpu_ok /tmp/hw_r4_running
-    RESUME=$(cat /tmp/hw_r4/.resume_step 2>/dev/null || echo 0)
+    RESUME=$(cat benchmarks/hw_logs/r4/.resume_step 2>/dev/null || echo 0)
     bash tools/hw_round4.sh "$RESUME" >> /tmp/hw_r4_queue.log 2>&1
     rc=$?
     rm -f /tmp/hw_r4_running
