@@ -19,13 +19,18 @@ cd "$(dirname "$0")/.."
 # Logs + resume pointer live IN THE REPO, not /tmp: a session/VM restart
 # wipes /tmp (it did, between round-4 sessions), which would lose both the
 # evidence of a partially-run queue and the step to resume from.
-LOG=benchmarks/hw_logs/r4
+# HW_* env overrides exist so tests/test_hw_queue.py can drive the abort/
+# resume/retry state machine with a stub python and a tmp log dir.
+LOG="${HW_LOG_DIR:-benchmarks/hw_logs/r4}"
+DEST="${HW_RECORDS_DIR:-benchmarks/hw_logs}"
+STEP_TIMEOUT="${HW_STEP_TIMEOUT:-2400}"
+PROBE_TIMEOUT="${HW_PROBE_TIMEOUT:-90}"
 mkdir -p "$LOG"
 START=${1:-0}
 N=0
 
 probe() {
-    timeout 90 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
+    timeout "$PROBE_TIMEOUT" python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
         > /dev/null 2>&1
 }
 
@@ -40,7 +45,7 @@ run() {
     fi
     echo "[$N] $name: $*"
     local t0=$SECONDS
-    timeout 2400 "$@" > "$LOG/$name.log" 2>&1
+    timeout "$STEP_TIMEOUT" "$@" > "$LOG/$name.log" 2>&1
     local rc=$?
     echo "[$N] $name rc=$rc (${LOG}/$name.log, $((SECONDS - t0))s)"
     if [ "$rc" -eq 124 ] && [ ! -e "$LOG/.retried_$N" ]; then
@@ -98,9 +103,8 @@ run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
 echo "ALL DONE — summaries:"
 grep -h '"metric"' "$LOG"/*.log 2>/dev/null | head -40
 
-# Persist evidence into the repo (the /tmp logs don't survive the round;
-# the driver commits uncommitted work at round end).
-DEST=benchmarks/hw_logs
+# Condense evidence into one record file (the driver commits uncommitted
+# work at round end).
 mkdir -p "$DEST"
 {
     echo "# round-4 hardware queue records — $(date -u +%FT%TZ)"
