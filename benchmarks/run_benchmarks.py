@@ -417,6 +417,10 @@ def build_lm_step(quick: bool = False):
     batch, tokens = (2, 64) if quick else (8, 257)
     batch = int(os.environ.get("LM_BATCH", batch))  # reference trains batch 8
     tokens = int(os.environ.get("LM_TOKENS", tokens))
+    # LM_SPD=K measures the production train.py --steps_per_dispatch lever
+    # at this scale: K steps lax.scanned in ONE compiled program (the
+    # counterpart of tools/dispatch_probe's synthetic scan-of-K ceiling).
+    spd = int(os.environ.get("LM_SPD", "1"))
     config = Config({
         "model": {
             "_import_": "models.transformer_lm.transformer_lm.TransformerLM",
@@ -451,39 +455,55 @@ def build_lm_step(quick: bool = False):
     variables = init_model_variables(model, config, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(config, 1.0)
     state = place_replicated(mesh, TrainState.create(variables, tx, use_ema=False))
-    step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
-                           mesh=mesh, bf16=True)
+    if spd > 1:
+        from speech_masters_thesis_tpu.train.loop import make_train_multistep
+        step = make_train_multistep(model, tx, default_mu(batch, 1), use_ema=False,
+                                    steps_per_dispatch=spd, mesh=mesh, bf16=True)
+    else:
+        step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
+                               mesh=mesh, bf16=True)
 
     rng = np.random.RandomState(0)
     batch_data = shard_batch(mesh, {
-        "token": rng.randint(2, 514, (batch, tokens)).astype(np.int32),
-        "token_len": np.full((batch,), tokens, np.int32),
+        "token": rng.randint(2, 514, (spd * batch, tokens)).astype(np.int32),
+        "token_len": np.full((spd * batch,), tokens, np.int32),
         "audio": None, "audio_len": None, "speaker": None,
     })
     key = jax.random.PRNGKey(0)
-    meta = {"batch": batch, "tokens": tokens, "per_step_units": batch * tokens}
+    meta = {"batch": batch, "tokens": tokens, "spd": spd,
+            "per_step_units": batch * tokens}
     return step, state, batch_data, key, meta
 
 
 def bench_lm_train(quick: bool = False) -> dict:
-    """LM train-step throughput; see build_lm_step for the configuration."""
+    """LM train-step throughput; see build_lm_step for the configuration.
+
+    With LM_SPD=K the timed unit is one K-step dispatch; the report is
+    normalized back to per-step so the number is directly comparable with
+    the K=1 row (the delta is the amortized host/dispatch fixed cost)."""
     step, state, batch_data, key, meta = build_lm_step(quick)
+    spd = meta["spd"]
     flops = timing.compiled_flops(step, state, batch_data, key)
 
     def run_one(carry):
         new_state, sc = step(carry, batch_data, key)
-        return new_state, sc["loss"]
+        loss = sc["loss"]
+        return new_state, (loss[-1] if spd > 1 else loss)
 
-    sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=20)
+    sec_per_dispatch, _ = timing.time_steps(run_one, state, warmup=3, steps=20)
     report = timing.rate_report(per_step_units=meta["per_step_units"],
-                                sec_per_step=sec_per_step,
-                                flops_per_step=flops, bf16=True)
-    return {
+                                sec_per_step=sec_per_dispatch / spd,
+                                flops_per_step=flops / spd if flops else flops,
+                                bf16=True)
+    out = {
         "metric": "lm_train_tokens_per_sec",
         **report,
         "batch": meta["batch"], "tokens": meta["tokens"],
         "note": "12L/d512 reference scale; audio-seconds equivalent = tokens * 128 / 22050",
     }
+    if spd > 1:
+        out["steps_per_dispatch"] = spd
+    return out
 
 
 def build_vqtts_step(quick: bool = False):

@@ -92,6 +92,7 @@ run glow_unfused   env GLOW_FUSED=0 python -m benchmarks.run_benchmarks --only g
 run vqtts_unfused  env VQTTS_FUSED=0 python -m benchmarks.run_benchmarks --only vqtts_train --no-save
 run lm_unfused     env LM_FUSED=0 python -m benchmarks.run_benchmarks --only lm_train --no-save
 run lm_batch64     env LM_BATCH=64 python -m benchmarks.run_benchmarks --only lm_train --no-save
+run lm_spd8        env LM_SPD=8 python -m benchmarks.run_benchmarks --only lm_train --no-save
 
 # 5. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
 run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
