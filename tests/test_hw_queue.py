@@ -9,9 +9,14 @@ wedged-lease outages of rounds 3-4 produced:
   * lease wedged before a step  -> abort, resume pointer at that step
   * step killed by timeout      -> queued for ONE retry, abort to re-probe
   * same step times out again   -> record rc=124 and move on (no loop)
+  * a combo step exits 3        -> wedge mid-combo: abort, resume AT it
   * healthy queue               -> runs to the end, writes the record file
 
-No jax import, no TPU touch: pure subprocess + filesystem assertions.
+The queue's steps are now: fused_check, combo_checks, bench, combo_rest,
+train_smoke — the combo steps batch many measurements into one python
+process (tools/hw_combo) because lease-recovery windows are short; the
+combo's own per-stage resume/failure machinery is tested in-process below
+with a fake stage module (no jax, no TPU touch).
 """
 
 from __future__ import annotations
@@ -19,12 +24,15 @@ from __future__ import annotations
 import os
 import stat
 import subprocess
+import sys
 from pathlib import Path
 
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 SCRIPT = REPO / "tools" / "hw_round4.sh"
+
+STEPS = ["fused_check", "combo_checks", "bench", "combo_rest", "train_smoke"]
 
 
 def _write_stub_python(tmp_path: Path, body: str) -> Path:
@@ -46,9 +54,12 @@ def _run_queue(tmp_path: Path, bindir: Path, start: int = 0, **extra_env):
         HW_LOG_DIR=str(log),
         HW_RECORDS_DIR=str(dest),
         HW_STEP_TIMEOUT="30",
+        HW_COMBO_TIMEOUT="30",
         HW_PROBE_TIMEOUT="10",
-        **{k: str(v) for k, v in extra_env.items()},
+        HW_PROBE_TRIES="1",
+        HW_PROBE_PAUSE="0",
     )
+    env.update({k: str(v) for k, v in extra_env.items()})
     proc = subprocess.run(
         ["bash", str(SCRIPT), str(start)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=120,
@@ -66,13 +77,13 @@ def test_healthy_queue_runs_to_completion(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "ALL DONE" in proc.stdout
     # every step produced a log and the condensed record file exists
-    logs = list(log.glob("*.log"))
-    assert len(logs) >= 15  # parity checks + benches + traces + A/Bs + smoke
+    logs = {p.stem for p in log.glob("*.log")}
+    assert logs == set(STEPS)
     records = (dest / "r4_records.txt").read_text()
-    for name in ("fused_check", "bench", "prof_glow", "lm_batch64", "train_smoke"):
+    for name in STEPS:
         assert f"== {name}" in records, name
     # the resume pointer ends past the last step (idempotent re-entry)
-    assert _resume_step(log) > len(logs)
+    assert _resume_step(log) == len(STEPS) + 1
 
 
 def test_wedged_probe_aborts_with_resume_pointer(tmp_path):
@@ -91,29 +102,50 @@ def test_mid_queue_wedge_resumes_where_it_left_off(tmp_path):
     flag = tmp_path / "wedged"
     body = (
         f'case "$*" in *"jnp.ones"*) [ -e {flag} ] && exit 1 || exit 0 ;; '
-        '*"tools.enc_check"*) touch ' + str(flag) + '; exit 0 ;; *) exit 0 ;; esac'
+        '*"bench.py"*) touch ' + str(flag) + '; exit 0 ;; *) exit 0 ;; esac'
     )
     bindir = _write_stub_python(tmp_path, body)
     proc, log, _ = _run_queue(tmp_path, bindir)
     assert proc.returncode == 1
-    # enc_check is step 3; it ran, then the probe before step 4 failed
-    assert (log / "enc_check.log").exists()
-    assert not (log / "attn_check.log").exists()
+    # bench is step 3; it ran, then the probe before step 4 failed
+    assert (log / "bench.log").exists()
+    assert not (log / "combo_rest.log").exists()
     resume = _resume_step(log)
     assert resume == 4
     # second recovery: lease healthy again -> queue completes from step 4
     flag.unlink()
     proc2, log2, _ = _run_queue(tmp_path, bindir, start=resume)
     assert proc2.returncode == 0
-    assert "[3] skip enc_check" in proc2.stdout  # prefix not re-run
-    assert (log2 / "attn_check.log").exists()
+    assert "[3] skip bench" in proc2.stdout  # prefix not re-run
+    assert (log2 / "combo_rest.log").exists()
+
+
+def test_transient_probe_failure_is_retried_not_fatal(tmp_path):
+    # Right after a TPU process exits, the lease can take a minute to hand
+    # over: the FIRST probe of a step fails, the retry succeeds. The queue
+    # must ride through instead of aborting into a watcher cycle (observed
+    # 03:03 UTC Aug 19: fused_check rc=0, next probe hung, queue aborted).
+    count = tmp_path / "probe_count"
+    body = (
+        'case "$*" in *"jnp.ones"*) '
+        f'n=$(cat {count} 2>/dev/null || echo 0); echo $((n+1)) > {count}; '
+        # every 3rd probe call fails (first try of some steps), retries pass
+        '[ $(( (n+1) % 3 )) -eq 0 ] && exit 1 || exit 0 ;; '
+        "*) exit 0 ;; esac"
+    )
+    bindir = _write_stub_python(tmp_path, body)
+    proc, log, dest = _run_queue(tmp_path, bindir, HW_PROBE_TRIES=2)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "LEASE WEDGED" not in proc.stdout
+    assert (dest / "r4_records.txt").exists()
 
 
 def test_step_timeout_retries_exactly_once(tmp_path):
-    # wn_check (step 2) exits 124 — indistinguishable from `timeout` killing
-    # it, the signature of a lease that wedged DURING the step
+    # combo_checks (step 2) exits 124 — indistinguishable from `timeout`
+    # killing it, the signature of a lease that wedged DURING the step
     bindir = _write_stub_python(
-        tmp_path, 'case "$*" in *"tools.wn_check"*) exit 124 ;; *) exit 0 ;; esac')
+        tmp_path,
+        'case "$*" in *"tools.hw_combo checks"*) exit 124 ;; *) exit 0 ;; esac')
     proc, log, _ = _run_queue(tmp_path, bindir)
     assert proc.returncode == 1
     assert "queued for ONE retry" in proc.stdout
@@ -122,6 +154,84 @@ def test_step_timeout_retries_exactly_once(tmp_path):
     # retry attempt: still 124 -> recorded and the queue MOVES ON (no loop)
     proc2, log2, _ = _run_queue(tmp_path, bindir, start=2)
     assert proc2.returncode == 0
-    assert "wn_check rc=124" in proc2.stdout
+    assert "combo_checks rc=124" in proc2.stdout
     assert "queued for ONE retry" not in proc2.stdout
-    assert (log2 / "enc_check.log").exists()  # queue continued past it
+    assert (log2 / "bench.log").exists()  # queue continued past it
+
+
+def test_combo_wedge_signal_resumes_at_same_step(tmp_path):
+    # rc=3 is tools/hw_combo's "lease wedged mid-combo" signal: the queue
+    # must abort AND point resume at the SAME step (the combo's internal
+    # .combo_resume_* file carries the fine-grained progress).
+    flag = tmp_path / "wedged_once"
+    body = (
+        'case "$*" in *"tools.hw_combo rest"*) '
+        f'[ -e {flag} ] && exit 0 || {{ touch {flag}; exit 3; }} ;; '
+        "*) exit 0 ;; esac"
+    )
+    bindir = _write_stub_python(tmp_path, body)
+    proc, log, _ = _run_queue(tmp_path, bindir)
+    assert proc.returncode == 1
+    assert "wedged lease (rc=3)" in proc.stdout
+    assert _resume_step(log) == 4  # combo_rest is step 4; resume AT it
+    assert not (log / ".retried_4").exists()
+    # next recovery: combo healthy -> queue completes from the same step
+    proc2, log2, _ = _run_queue(tmp_path, bindir, start=4)
+    assert proc2.returncode == 0
+    assert (log2 / "train_smoke.log").exists()
+
+
+# ---------------------------------------------------------------------------
+# tools/hw_combo in-process state machine (fake stage module, no jax ops)
+
+
+@pytest.fixture()
+def combo(tmp_path, monkeypatch):
+    monkeypatch.syspath_prepend(str(REPO))
+    monkeypatch.syspath_prepend(str(REPO / "tests"))
+    from tools import hw_combo
+
+    monkeypatch.setattr(hw_combo, "LOG_DIR", str(tmp_path))
+    monkeypatch.setattr(hw_combo, "_probe", lambda: None)
+    monkeypatch.setattr(hw_combo, "_restore_prng_default", lambda: None)
+    return hw_combo
+
+
+def test_combo_stage_isolation_and_resume(combo, tmp_path, monkeypatch):
+    touched = tmp_path / "touched"
+    stages = [
+        ("s_ok", "_fake_combo_stage", ["--x"], {"FAKE_STAGE_TOUCH": str(touched)}),
+        ("s_fail", "_fake_combo_stage", [], {"FAKE_STAGE_RC": "1"}),
+        ("s_raise", "_fake_combo_stage", [], {"FAKE_STAGE_RAISE": "1"}),
+        ("s_ok2", "_fake_combo_stage", [], None),
+    ]
+    monkeypatch.setitem(combo.GROUPS, "fake", stages)
+    monkeypatch.setattr(sys, "argv", ["hw_combo", "fake"])
+    combo.main()
+    # every stage attempted despite failures in the middle; logs captured
+    for name, *_ in stages:
+        assert (tmp_path / f"{name}.log").exists(), name
+    assert "argv=['--x']" in (tmp_path / "s_ok.log").read_text()
+    assert "fake stage exploded" in (tmp_path / "s_raise.log").read_text()
+    assert (tmp_path / ".combo_resume_fake").read_text() == "4"
+    assert touched.read_text() == "x"
+    # env overrides did not leak between stages
+    assert "FAKE_STAGE_RC" not in os.environ
+    assert "FAKE_STAGE_RAISE" not in os.environ
+    # re-entry: everything already ran -> all skipped, no double side effects
+    combo.main()
+    assert touched.read_text() == "x"
+
+
+def test_combo_real_groups_reference_real_modules():
+    # every stage in the shipped groups must point at an importable module
+    # (a typo here would silently lose a measurement on the chip)
+    import importlib.util
+
+    from tools import hw_combo
+
+    for group, stages in hw_combo.GROUPS.items():
+        names = [s[0] for s in stages]
+        assert len(names) == len(set(names)), f"duplicate stage names in {group}"
+        for name, module, argv, env in stages:
+            assert importlib.util.find_spec(module) is not None, (group, module)

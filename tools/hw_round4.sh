@@ -30,11 +30,23 @@ START=${1:-0}
 N=0
 
 probe() {
-    timeout "$PROBE_TIMEOUT" python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
-        > /dev/null 2>&1
+    # Right after a TPU process exits, the remote lease can take a minute+
+    # to hand over — a single failed one-op probe there is NOT a wedge
+    # (observed 03:03 UTC: fused_check rc=0, then the immediate probe hung
+    # and the queue aborted into an 8-min watcher cycle). Retry a few
+    # times with a pause before declaring the lease dead.
+    local tries="${HW_PROBE_TRIES:-3}"
+    for _ in $(seq 1 "$tries"); do
+        timeout "$PROBE_TIMEOUT" python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
+            > /dev/null 2>&1 && return 0
+        sleep "${HW_PROBE_PAUSE:-45}"
+    done
+    return 1
 }
 
 run() {
+    local t="$STEP_TIMEOUT"
+    if [ "$1" = "-t" ]; then t="$2"; shift 2; fi
     local name=$1; shift
     N=$((N + 1))
     [ "$N" -lt "$START" ] && { echo "[$N] skip $name"; return; }
@@ -45,9 +57,17 @@ run() {
     fi
     echo "[$N] $name: $*"
     local t0=$SECONDS
-    timeout "$STEP_TIMEOUT" "$@" > "$LOG/$name.log" 2>&1
+    timeout "$t" "$@" > "$LOG/$name.log" 2>&1
     local rc=$?
     echo "[$N] $name rc=$rc (${LOG}/$name.log, $((SECONDS - t0))s)"
+    if [ "$rc" -eq 3 ]; then
+        # tools/hw_combo's wedge signal: the lease died mid-step. The combo
+        # makes internal per-stage progress (.combo_resume_*), so re-running
+        # this step on every recovery converges — resume HERE, not past it.
+        echo "$N" > "$LOG/.resume_step"
+        echo "[$N] $name reported a wedged lease (rc=3) — aborting to re-probe"
+        exit 1
+    fi
     if [ "$rc" -eq 124 ] && [ ! -e "$LOG/.retried_$N" ]; then
         # timeout usually means the lease wedged DURING the step — retry it
         # once on the next watcher recovery instead of skipping its record
@@ -61,40 +81,27 @@ run() {
     echo "$((N + 1))" > "$LOG/.resume_step"
 }
 
+# Recovery windows are SHORT (observed 02:55-03:02: one window, one step):
+# tools/hw_combo batches many measurements into ONE python process so a
+# window lands as many records as it can — backend init paid once, no
+# per-step process teardown (which has preceded two observed wedges).
+# The combo appends per-stage <name>.log files into $LOG and keeps its own
+# stage resume (.combo_resume_*), so a mid-combo wedge (rc=3) resumes at
+# the exact stage on the next recovery.
+
 # 1. kernel parity checks on hardware (round-3 contracts never chip-verified)
 run fused_check    python -m tools.fused_check
-run wn_check       python -m tools.wn_check
-run enc_check      python -m tools.enc_check
-run attn_check     python -m tools.attn_check
-run flash_check    python -m tools.flash_check
+run combo_checks   python -m tools.hw_combo checks
 
-# 2. headline bench + the full default auxiliary suite (results.json of record)
+# 2. headline bench (results.json of record; own process — its outage path
+#    prints a structured skipped record and must stay independently runnable)
 run bench          python bench.py
-run benchmarks     python -m benchmarks.run_benchmarks
 
-# 3. device traces for the MFU work (VERDICT r3 #2-4): op-time decomposition
-run prof_glow      python -m tools.perf_profile --model glow
-run prof_vqtts     python -m tools.perf_profile --model vqtts
-run prof_lm        python -m tools.perf_profile --model lm
+# 3. everything else in one process: per-metric aux suite (merges into
+#    results.json), device traces, dispatch probes, A/B variants (--no-save)
+run -t "${HW_COMBO_TIMEOUT:-21600}" combo_rest python -m tools.hw_combo rest
 
-# 3b. dispatch-latency decomposition (VERDICT r3 #4): per-dispatch vs
-# scan-of-K per-step time; scan/K << per-dispatch proves the batch-8 LM
-# gap is host/tunnel execute latency, not on-device inefficiency
-run disp_lm        python -m tools.dispatch_probe --model lm
-run disp_glow      python -m tools.dispatch_probe --model glow
-run disp_vqtts     python -m tools.dispatch_probe --model vqtts
-
-# 4. A/B variants (print-only: --no-save keeps results.json at defaults)
-run glow_condonly  env GLOW_FLOW_STEP=0 python -m benchmarks.run_benchmarks --only glow_train --no-save
-run glow_noenc     env GLOW_ENC=0 python -m benchmarks.run_benchmarks --only glow_train --no-save
-run vqtts_noenc    env VQTTS_ENC=0 python -m benchmarks.run_benchmarks --only vqtts_train --no-save
-run glow_unfused   env GLOW_FUSED=0 python -m benchmarks.run_benchmarks --only glow_train --no-save
-run vqtts_unfused  env VQTTS_FUSED=0 python -m benchmarks.run_benchmarks --only vqtts_train --no-save
-run lm_unfused     env LM_FUSED=0 python -m benchmarks.run_benchmarks --only lm_train --no-save
-run lm_batch64     env LM_BATCH=64 python -m benchmarks.run_benchmarks --only lm_train --no-save
-run lm_spd8        env LM_SPD=8 python -m benchmarks.run_benchmarks --only lm_train --no-save
-
-# 5. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
+# 4. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
 run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
                        --dataset tests/fixtures/ljspeech_tiny.yaml \
                        --log_dir /tmp/hw_r4_smoke --batch_size 2 --total_epochs 1 \
