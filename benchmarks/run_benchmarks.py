@@ -265,6 +265,11 @@ def build_glow_step(quick: bool = False):
     from speech_masters_thesis_tpu.utils.config import Config
 
     batch, frames, tokens = (4, 128, 32) if quick else (8, 768, 128)
+    # GLOW_SPD=K: K steps lax.scanned in ONE program (train.py
+    # --steps_per_dispatch). The round-2 Glow trace showed device-busy at
+    # only ~14.5 of the 20.6 ms wall step (scheduling/dispatch gaps) — this
+    # is the production lever for exactly that gap.
+    spd = int(os.environ.get("GLOW_SPD", "1"))
     config = Config({
         "model": {
             "_import_": "models.glow_tts.glow_tts.GlowTTS",
@@ -306,41 +311,56 @@ def build_glow_step(quick: bool = False):
     variables = init_model_variables(model, config, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(config, 1.0)
     state = place_replicated(mesh, TrainState.create(variables, tx, use_ema=False))
-    step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
-                           mesh=mesh, bf16=True)
+    if spd > 1:
+        from speech_masters_thesis_tpu.train.loop import make_train_multistep
+        step = make_train_multistep(model, tx, default_mu(batch, 1), use_ema=False,
+                                    steps_per_dispatch=spd, mesh=mesh, bf16=True)
+    else:
+        step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
+                               mesh=mesh, bf16=True)
 
     rng = np.random.RandomState(0)
     batch_data = shard_batch(mesh, {
-        "token": rng.randint(0, 149, (batch, tokens)).astype(np.int32),
-        "token_len": np.full((batch,), tokens, np.int32),
-        "spect": (rng.randn(batch, frames, 80) * 0.5 - 4).astype(np.float32),
-        "spect_len": np.full((batch,), frames, np.int32),
+        "token": rng.randint(0, 149, (spd * batch, tokens)).astype(np.int32),
+        "token_len": np.full((spd * batch,), tokens, np.int32),
+        "spect": (rng.randn(spd * batch, frames, 80) * 0.5 - 4).astype(np.float32),
+        "spect_len": np.full((spd * batch,), frames, np.int32),
         "speaker": None,
     })
     key = jax.random.PRNGKey(0)
-    meta = {"batch": batch, "frames": frames, "per_step_units": batch * frames}
+    meta = {"batch": batch, "frames": frames, "spd": spd,
+            "per_step_units": batch * frames}
     return step, state, batch_data, key, meta
 
 
 def bench_glow_train(quick: bool = False) -> dict:
-    """Glow-TTS training step throughput at reference scale (mel-frames/s)."""
+    """Glow-TTS training step throughput at reference scale (mel-frames/s).
+
+    With GLOW_SPD=K the timed unit is one K-step dispatch, normalized back
+    to per-step (same protocol as bench_lm_train)."""
     step, state, batch_data, key, meta = build_glow_step(quick)
+    spd = meta["spd"]
     flops = timing.compiled_flops(step, state, batch_data, key)
 
     def run_one(carry):
         new_state, sc = step(carry, batch_data, key)
-        return new_state, sc["loss"]
+        loss = sc["loss"]
+        return new_state, (loss[-1] if spd > 1 else loss)
 
-    sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=10)
+    sec_per_dispatch, _ = timing.time_steps(run_one, state, warmup=3, steps=10)
     report = timing.rate_report(per_step_units=meta["per_step_units"],
-                                sec_per_step=sec_per_step,
-                                flops_per_step=flops, bf16=True)
-    return {
+                                sec_per_step=sec_per_dispatch / spd,
+                                flops_per_step=flops / spd if flops else flops,
+                                bf16=True)
+    out = {
         "metric": "glow_tts_train_mel_frames_per_sec",
         **report,
         "batch": meta["batch"], "frames": meta["frames"],
         "note": "reference runs MAS on CPU NumPy every step; here it is on-device",
     }
+    if spd > 1:
+        out["steps_per_dispatch"] = spd
+    return out
 
 
 def bench_mas(quick: bool = False) -> dict:
@@ -549,48 +569,64 @@ def build_vqtts_step(quick: bool = False):
     sr = config.dataset.sample_rate
     hop = config.dataset.hop_length
     t_samples = int(seconds * sr) // 512 * 512
+    # VQTTS_SPD=K: K steps per dispatch (same lever as GLOW_SPD/LM_SPD)
+    spd = int(os.environ.get("VQTTS_SPD", "1"))
     mesh = make_data_mesh()
     model = get_model(config)
     variables = init_model_variables(model, config, jax.random.PRNGKey(0))
     tx, _ = build_optimizer(config, 1.0)
     state = place_replicated(mesh, TrainState.create(variables, tx, use_ema=False))
-    step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
-                           mesh=mesh, bf16=True)
+    if spd > 1:
+        from speech_masters_thesis_tpu.train.loop import make_train_multistep
+        step = make_train_multistep(model, tx, default_mu(batch, 1), use_ema=False,
+                                    steps_per_dispatch=spd, mesh=mesh, bf16=True)
+    else:
+        step = make_train_step(model, tx, default_mu(batch, 1), use_ema=False,
+                               mesh=mesh, bf16=True)
 
     rng = np.random.RandomState(0)
     batch_data = shard_batch(mesh, {
-        "token": rng.randint(1, 149, (batch, tokens)).astype(np.int32),
-        "token_len": np.full((batch,), tokens, np.int32),
-        "audio": (rng.uniform(-0.5, 0.5, (batch, t_samples))).astype(np.float32),
-        "audio_len": np.full((batch,), t_samples, np.int32),
+        "token": rng.randint(1, 149, (spd * batch, tokens)).astype(np.int32),
+        "token_len": np.full((spd * batch,), tokens, np.int32),
+        "audio": (rng.uniform(-0.5, 0.5, (spd * batch, t_samples))).astype(np.float32),
+        "audio_len": np.full((spd * batch,), t_samples, np.int32),
         "speaker": None,
     })
     key = jax.random.PRNGKey(0)
-    meta = {"batch": batch, "audio_seconds": seconds, "fused": fused,
+    meta = {"batch": batch, "audio_seconds": seconds, "fused": fused, "spd": spd,
             "per_step_units": batch * t_samples / hop}
     return step, state, batch_data, key, meta
 
 
 def bench_vqtts_train(quick: bool = False) -> dict:
-    """VQ-TTS train-step throughput; see build_vqtts_step for the config."""
+    """VQ-TTS train-step throughput; see build_vqtts_step for the config.
+
+    With VQTTS_SPD=K the timed unit is one K-step dispatch, normalized back
+    to per-step (same protocol as bench_lm_train)."""
     step, state, batch_data, key, meta = build_vqtts_step(quick)
+    spd = meta["spd"]
     flops = timing.compiled_flops(step, state, batch_data, key)
 
     def run_one(carry):
         new_state, sc = step(carry, batch_data, key)
-        return new_state, sc["loss"]
+        loss = sc["loss"]
+        return new_state, (loss[-1] if spd > 1 else loss)
 
-    sec_per_step, _ = timing.time_steps(run_one, state, warmup=3, steps=10)
+    sec_per_dispatch, _ = timing.time_steps(run_one, state, warmup=3, steps=10)
     report = timing.rate_report(per_step_units=meta["per_step_units"],
-                                sec_per_step=sec_per_step,
-                                flops_per_step=flops, bf16=True)
-    return {
+                                sec_per_step=sec_per_dispatch / spd,
+                                flops_per_step=flops / spd if flops else flops,
+                                bf16=True)
+    out = {
         "metric": "vqtts_train_mel_frames_per_sec",
         **report,
         "batch": meta["batch"], "audio_seconds": meta["audio_seconds"],
         "fused": meta["fused"],
         "note": "reference trains this at batch 1 with per-step CPU MAS (train_vqvae.sh)",
     }
+    if spd > 1:
+        out["steps_per_dispatch"] = spd
+    return out
 
 
 def main():

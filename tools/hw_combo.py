@@ -189,6 +189,12 @@ GROUPS: dict[str, list[tuple]] = {
          {"LM_BATCH": "64"}),
         ("lm_spd8", RB, ["--only", "lm_train", "--no-save"],
          {"LM_SPD": "8"}),
+        # steps_per_dispatch on the other small-step models: the round-2
+        # Glow trace showed ~30% of wall in scheduling/dispatch gaps
+        ("glow_spd8", RB, ["--only", "glow_train", "--no-save"],
+         {"GLOW_SPD": "8"}),
+        ("vqtts_spd8", RB, ["--only", "vqtts_train", "--no-save"],
+         {"VQTTS_SPD": "8"}),
     ],
 }
 
@@ -208,6 +214,16 @@ def main() -> None:
         if idx < resume:
             say(f"[combo {idx}] skip {name} (already ran)")
             continue
+        # deadline guard (tools/tpu_watcher.sh): never LAUNCH a stage past
+        # it — the driver's round-end bench.py needs the lease to itself.
+        # Exit 0: completed stages' logs stand; .combo_resume picks up here.
+        try:
+            deadline = float(open(os.path.join(LOG_DIR, ".deadline")).read())
+        except (OSError, ValueError):
+            deadline = None
+        if deadline is not None and time.time() >= deadline:
+            say(f"[combo {idx}] DEADLINE passed — stopping before {name}")
+            break
         if not run_stage(idx, name, module, argv, env):
             failed.append(name)
         with open(resume_file, "w") as f:

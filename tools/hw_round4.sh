@@ -50,6 +50,16 @@ run() {
     local name=$1; shift
     N=$((N + 1))
     [ "$N" -lt "$START" ] && { echo "[$N] skip $name"; return; }
+    # Deadline (see tools/tpu_watcher.sh): never LAUNCH a step past it —
+    # the driver's round-end bench.py needs the lease to itself. Resume
+    # pointer stays at this step for the next round's queue.
+    local d
+    d=$(cat "$LOG/.deadline" 2>/dev/null || true)
+    if [ -n "$d" ] && [ "$(date +%s)" -ge "$d" ]; then
+        echo "[$N] DEADLINE passed — stopping before $name (resume: bash tools/hw_round4.sh $N)"
+        echo "$N" > "$LOG/.resume_step"
+        exit 0
+    fi
     if ! probe; then
         echo "[$N] LEASE WEDGED before $name — aborting queue (resume: bash tools/hw_round4.sh $N)"
         echo "$N" > "$LOG/.resume_step"   # watcher auto-resumes from here

@@ -11,7 +11,21 @@
 # Flags: /tmp/tpu_ok (lease alive), /tmp/hw_r4_running, /tmp/hw_r4_done (rc).
 cd "$(dirname "$0")/.."
 rm -f /tmp/tpu_ok /tmp/hw_r4_done
+# Deadline guard: benchmarks/hw_logs/r4/.deadline holds a unix timestamp.
+# Past it the watcher exits WITHOUT probing or launching — the driver runs
+# its own bench.py on the real chip at round end, and a second concurrent
+# TPU client (this watcher's probe or queue) would hang it ("one TPU
+# process at a time", CLAUDE.md) and cost the round its headline record.
+past_deadline() {
+  local d
+  d=$(cat benchmarks/hw_logs/r4/.deadline 2>/dev/null) || return 1
+  [ -n "$d" ] && [ "$(date +%s)" -ge "$d" ]
+}
 for i in $(seq 1 80); do
+  if past_deadline; then
+    echo "DEADLINE passed at $(date) — watcher exits to free the lease for the driver" >> /tmp/tpu_probe_r4.log
+    exit 0
+  fi
   echo "$(date +%H:%M:%S) probe $i" >> /tmp/tpu_probe_r4.log
   if timeout 75 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" >> /tmp/tpu_probe_r4.log 2>&1; then
     echo "TPU RECOVERED at $(date)" >> /tmp/tpu_probe_r4.log
