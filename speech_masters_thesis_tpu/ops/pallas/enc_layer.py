@@ -449,6 +449,14 @@ def _weight_specs(n: int):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
+# The recompute backward holds the weights, the f32 param-grad accumulators,
+# and the T x filter_channels intermediates in VMEM at once — near Mosaic's
+# default 16 MB scoped budget at the shipped scale (T=257, C=192, F=768).
+# v5e has 128 MB VMEM/core; raise the cap for the backward kernel (same fix
+# as ops/pallas/wn_coupling.py's r4 hardware OOM).
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_enc_layer(spec: EncLayerSpec, seed_f32, lens, x, *params):
     """One fused encoder layer; params in spec.param_names order:
@@ -497,6 +505,7 @@ def _vjp_bwd(spec, residuals, g):
         out_shape=(jax.ShapeDtypeStruct((B, T, C), x.dtype),
                    *[jax.ShapeDtypeStruct(p.shape, f32) for p in params]),
         cost_estimate=_flops(spec, B, T, bwd=True),
+        compiler_params=_BWD_COMPILER_PARAMS,
         interpret=spec.interpret,
     )(seed, lens, x, g.astype(x.dtype), *params)
     dx = outs[0]

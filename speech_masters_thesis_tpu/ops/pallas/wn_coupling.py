@@ -423,6 +423,14 @@ def _weight_specs(n: int):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
+# The recompute backward holds per-layer scratch (L,T,H)+(L,T,2H) f32, the
+# weight set, AND the f32 weight-grad accumulators in VMEM at once: 37.2 MB
+# at the shipped Glow decoder scale (B=4, T=384, C=160, H=192, L=4), over
+# Mosaic's default 16 MB scoped-vmem budget (hardware OOM, r4 wn_check).
+# v5e has 128 MB of VMEM/core — raise the cap for the backward kernels only.
+_BWD_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _row_spec(T: int, C: int):
     return pl.BlockSpec((1, T, C), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM)
 
@@ -488,6 +496,7 @@ def _bwd(spec: WNSpec, seed, lens, x0, g, ws, bs, wins, bins, wrss, brss, wend, 
         ),
         out_shape=out_shape,
         cost_estimate=_flops(spec, B, T, bwd=True),
+        compiler_params=_BWD_COMPILER_PARAMS,
         interpret=spec.interpret,
     )(seed, lens, x0, g, ws, bs, *wins, *bins, *wrss, *brss, wend, bend)
     return outs
@@ -573,6 +582,7 @@ def _bwd_flow(spec: WNSpec, seed, lens, x, g_xc, g_out, aln, alb, mt,
         ),
         out_shape=out_shape,
         cost_estimate=_flow_flops(spec, B, T, bwd=True),
+        compiler_params=_BWD_COMPILER_PARAMS,
         interpret=spec.interpret,
     )(seed, lens, x, g_xc, g_out, aln, alb, mt, ws, bs,
       *wins, *bins, *wrss, *brss, wend, bend)

@@ -40,17 +40,27 @@ def main():
     assert jax.default_backend() == "tpu", "run on the TPU"
     text, lens = _mk()
 
-    # ---- dropout-off: exact-math parity fused vs flax, fwd + grads
+    # ---- dropout-off: exact-math parity fused vs flax, fwd + grads.
+    # The kernel pins f32-HIGHEST dots (ops/pallas/enc_layer.py) while flax
+    # on TPU defaults to bf16-class MXU matmuls (~1e-2 drift over 6 layers —
+    # the r4 hardware failure was exactly this protocol bug). Compare BOTH
+    # paths traced under HIGHEST precision, so the surrounding flax parts
+    # (prenet, proj, duration predictor) are identical and only kernel-vs-XLA
+    # rounding remains; report the default-precision drift for scale.
     ref, fus = _pair(0.0)
     variables = ref.init({"params": jax.random.PRNGKey(0)}, text, lens, train=False)
 
-    o_ref = jax.jit(lambda v: ref.apply(v, text, lens, train=False))(variables)
-    o_fus = jax.jit(lambda v: fus.apply(v, text, lens, train=False))(variables)
+    with jax.default_matmul_precision("highest"):
+        o_ref = jax.jit(lambda v: ref.apply(v, text, lens, train=False))(variables)
+        o_fus = jax.jit(lambda v: fus.apply(v, text, lens, train=False))(variables)
+    o_def = jax.jit(lambda v: ref.apply(v, text, lens, train=False))(variables)
     m = np.asarray(o_ref[3])
-    for name, a, b, mm in (("x_m", o_ref[0], o_fus[0], m),
-                           ("logw", o_ref[2], o_fus[2], m[..., 0])):
+    for name, a, b, d, mm in (("x_m", o_ref[0], o_fus[0], o_def[0], m),
+                              ("logw", o_ref[2], o_fus[2], o_def[2], m[..., 0])):
         err = float(np.abs((np.asarray(a) - np.asarray(b)) * mm).max())
-        print(f"fwd {name}: max err (valid) = {err:.3e}")
+        err_def = float(np.abs((np.asarray(a) - np.asarray(d)) * mm).max())
+        print(f"fwd {name}: max err (valid) fused={err:.3e} "
+              f"(default-precision flax={err_def:.3e})")
         assert err < 5e-4, f"{name} forward mismatch"
 
     def loss(block):
@@ -62,14 +72,21 @@ def main():
                     + jnp.sum((logw * mask[..., 0]) ** 2))
         return f
 
-    g_ref = jax.jit(jax.grad(loss(ref)))(variables)
-    g_fus = jax.jit(jax.grad(loss(fus)))(variables)
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.jit(jax.grad(loss(ref)))(variables)
+        g_fus = jax.jit(jax.grad(loss(fus)))(variables)
+    leaves_ref = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    leaves_fus = jax.tree_util.tree_flatten_with_path(g_fus)[0]
+    # Floor each leaf's denominator at 3e-4 of the GLOBAL gradient scale:
+    # some leaves' true gradients are mathematically ZERO (conv_k.bias — the
+    # softmax is invariant to a constant shift of every key logit, so both
+    # paths compute pure rounding noise there; r5 hardware run failed on
+    # exactly that leaf at 3.18e-3 "relative" error, noise over noise).
+    gscale = max(float(np.abs(np.asarray(a)).max()) for _, a in leaves_ref)
     worst = 0.0
-    for (pa, a), (_, b) in zip(
-            jax.tree_util.tree_flatten_with_path(g_ref)[0],
-            jax.tree_util.tree_flatten_with_path(g_fus)[0]):
+    for (pa, a), (_, b) in zip(leaves_ref, leaves_fus):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        scale = max(np.abs(a).max(), 1e-2)
+        scale = max(np.abs(a).max(), 3e-4 * gscale, 1e-2)
         rel = np.abs(a - b).max() / scale
         worst = max(worst, rel)
         assert rel < 2e-3, f"grad mismatch at {jax.tree_util.keystr(pa)}: {rel:.3e}"

@@ -127,6 +127,21 @@ def check_flow_step():
     dec1 = FlowSpecDecoder(fused=True, **kw)
     v = dec0.init({"params": jax.random.PRNGKey(0)}, x, mask, train=False)
 
+    # Randomize every coupling's zero-init `end` conv (Glow convention),
+    # exactly as main() does for the single block: with them at zero the
+    # conditioner output is identically zero, so dropout inside the WN stack
+    # CANNOT change the loss and the diff-key assertion below is vacuously
+    # violated (r5 hardware run: diff-key delta=0.00e+00 with green fwd/grad
+    # parity — a check bug, not a kernel bug). Small std keeps the 12-block
+    # exp(logs) compounding tame.
+    def _rand_end(path, leaf):
+        if any(getattr(p, "key", None) == "end" for p in path):
+            return jnp.asarray(
+                rng.normal(0, 0.01, leaf.shape).astype(np.float32))
+        return leaf
+
+    v = {"params": jax.tree_util.tree_map_with_path(_rand_end, v["params"])}
+
     with jax.default_matmul_precision("highest"):
         z_hi, ld_hi = jax.jit(lambda v, xx: dec0.apply(v, xx, mask, train=False))(v, x)
     z_ref, ld_ref = jax.jit(lambda v, xx: dec0.apply(v, xx, mask, train=False))(v, x)
