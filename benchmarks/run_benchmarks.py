@@ -138,14 +138,11 @@ def bench_lm_sampling(quick: bool = False) -> dict:
     }
 
 
-def bench_glow_tts_rtf(quick: bool = False) -> dict:
-    import jax
-    import jax.numpy as jnp
-
+def _shipped_glow():
+    """Shipped-scale GlowTTS (configs/models/glow_tts.yaml) for RTF benches."""
     from speech_masters_thesis_tpu.models.glow_tts.model import GlowTTS
     from speech_masters_thesis_tpu.utils.config import Config
 
-    max_frames = 256 if quick else 1024  # ~12s of audio at 86 frames/s
     cfg = Config({
         "model": {
             "n_speakers": 1, "gin_channels": 0, "intersperse_blanks": None,
@@ -160,7 +157,17 @@ def bench_glow_tts_rtf(quick: bool = False) -> dict:
         },
         "dataset": {"n_mels": 80, "intersperse_blanks": True},
     })
-    model = GlowTTS(config=cfg.to_dict())
+    return GlowTTS(config=cfg.to_dict()), cfg
+
+
+def bench_glow_tts_rtf(quick: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from speech_masters_thesis_tpu.models.glow_tts.model import GlowTTS
+
+    max_frames = 256 if quick else 1024  # ~12s of audio at 86 frames/s
+    model, cfg = _shipped_glow()
     rng = jax.random.PRNGKey(0)
     t_text = 128
     tokens = jnp.zeros((1, t_text), jnp.int32)
@@ -235,6 +242,107 @@ def bench_glow_tts_rtf(quick: bool = False) -> dict:
                 "mel_rtf_flow_cached uses stored inverses + folded WN kernels "
                 "(store_inverse/remove_weight_norm equivalent); e2e_rtf adds "
                 "on-device Griffin-Lim + waveform D2H (BASELINE target < 0.05)",
+    }
+
+
+def bench_e2e_rtf(quick: bool = False) -> dict:
+    """Full user-facing synthesis pipeline RTF (VERDICT r4 next #5): raw
+    text -> CMUDict phonemes -> blank interspersal -> flow-cached reverse
+    flow -> on-device Griffin-Lim -> waveform on the host. Exactly the
+    ``scripts/synthesize.py --vocoder device --flow_cache 1`` path
+    (reference inversion anchor: utils/train_utils.py:249-304), measured at
+    the shipped Glow-TTS scale against the BASELINE "synthesis RTF < 0.05"
+    target. RTF convention: wall seconds per synthesized audio second of
+    the fixed-shape program (max_frames; the jitted compute is
+    shape-determined, matching bench_glow_tts_rtf)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_masters_thesis_tpu.models.glow_tts.flows import build_flow_cache
+    from speech_masters_thesis_tpu.models.glow_tts.model import GlowTTS
+    from speech_masters_thesis_tpu.ops.basic import safe_log
+    from speech_masters_thesis_tpu.ops.griffin_lim import make_mel_vocoder
+    from speech_masters_thesis_tpu.text.parser import (
+        CMUDictParser, intersperse_blanks)
+    from speech_masters_thesis_tpu.utils.config import Config
+
+    cmudict_path = os.environ.get("E2E_CMUDICT", "./data/cmudict.dict")
+    if not os.path.exists(cmudict_path):
+        # self-contained: the miniature dict the synth corpus ships with
+        from scripts.make_synth_dataset import WORDS
+        os.makedirs(os.path.dirname(os.path.abspath(cmudict_path)), exist_ok=True)
+        with open(cmudict_path, "w", encoding="utf-8") as f:
+            for word, phones in WORDS.items():
+                f.write(f"{word}  {phones}\n")
+
+    model, cfg = _shipped_glow()
+    parser = CMUDictParser(cmudict_path)
+    gl_iters = 32
+    max_frames = 256 if quick else 1024
+    hop, sr, pad_tokens = 256, 22050, 128
+    text = "The quick brown fox jumps over the lazy dog."
+
+    def frontend(text: str):
+        # host text frontend, included in the timed region (it is part of
+        # what a user pays per utterance); padded to a fixed token length so
+        # every utterance reuses one compiled program
+        ids = parser(text)
+        ids = intersperse_blanks(ids, len(parser.symbols))
+        n = len(ids)
+        assert n <= pad_tokens
+        arr = np.zeros((1, pad_tokens), np.int32)
+        arr[0, :n] = ids
+        return jnp.asarray(arr), jnp.asarray([n], jnp.int32)
+
+    tokens, lens = frontend(text)
+    rng0 = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng0, "dropout": rng0}, tokens, lens,
+                           jnp.zeros((1, 64, 80), jnp.float32),
+                           jnp.full((1,), 64, jnp.int32), train=False)
+    vocode = make_mel_vocoder(Config({"sample_rate": sr, "n_fft": 1024,
+                                      "hop_length": hop, "win_length": 1024,
+                                      "n_mels": 80}), n_iter=gl_iters)
+    variables = jax.jit(lambda t, l, r: build_flow_cache(
+        model, variables, t, l, r, max_frames=max_frames,
+        method=GlowTTS.infer))(tokens, lens, rng0)
+
+    @jax.jit
+    def infer_and_vocode(tokens, lens, rng):
+        mel, z_lengths = model.apply(variables, tokens, lens, rng,
+                                     max_frames=max_frames, method=GlowTTS.infer)
+        # silence the padded tail so Griffin-Lim doesn't bleed exp(0)=1
+        # energies into the valid region (scripts/synthesize.py:114-119)
+        frame = jnp.arange(mel.shape[1])[None, :, None]
+        mel_m = jnp.where(frame < z_lengths[:, None, None],
+                          mel, safe_log(jnp.zeros((), mel.dtype)))
+        return vocode(mel_m, jax.random.fold_in(rng, 7)), z_lengths
+
+    np.asarray(infer_and_vocode(tokens, lens, rng0)[0])  # compile + settle
+    reps = 3 if quick else 5
+    walls = []
+    for i in range(reps):
+        start = time.perf_counter()
+        tok_i, len_i = frontend(text)
+        audio, _ = infer_and_vocode(tok_i, len_i, jax.random.fold_in(rng0, i))
+        audio_host = np.asarray(audio)  # D2H of the waveform = barrier
+        walls.append(time.perf_counter() - start)
+    assert audio_host.shape[-1] == max_frames * hop
+    wall = float(np.median(walls))
+    audio_seconds = max_frames * hop / sr
+
+    return {
+        "metric": "e2e_synthesis_rtf",
+        "value": round(wall / audio_seconds, 5),
+        "wall_s": round(wall, 4),
+        "dispersion": [round(min(walls), 4), round(max(walls), 4)],
+        "reps": reps,
+        "frames": max_frames,
+        "audio_seconds": round(audio_seconds, 2),
+        "gl_iters": gl_iters,
+        "flow_cached": True,
+        "note": "text->phonemes->reverse flow->device Griffin-Lim->waveform "
+                "D2H, one utterance/program (scripts/synthesize.py path); "
+                "BASELINE target < 0.05",
     }
 
 
@@ -633,8 +741,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
     parser.add_argument("--only", type=str, default=None,
-                        choices=[None, "lm", "glow", "glow_train", "mas",
-                                 "vqtts_train", "lm_train"])
+                        choices=[None, "lm", "glow", "e2e_rtf", "glow_train",
+                                 "mas", "vqtts_train", "lm_train"])
     parser.add_argument("--no-save", action="store_true",
                         help="print JSON but do not merge into results.json "
                              "(A/B variant runs: results.json must only ever "
@@ -651,6 +759,9 @@ def main():
     if args.only in (None, "glow"):
         results["glow_tts_rtf"] = bench_glow_tts_rtf(args.quick)
         print(json.dumps(results["glow_tts_rtf"]))
+    if args.only in (None, "e2e_rtf"):
+        results["e2e_synthesis_rtf"] = bench_e2e_rtf(args.quick)
+        print(json.dumps(results["e2e_synthesis_rtf"]))
     if args.only in (None, "glow_train"):
         results["glow_train"] = bench_glow_train(args.quick)
         print(json.dumps(results["glow_train"]))

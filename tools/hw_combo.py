@@ -10,7 +10,7 @@ process: backend init is paid once, the lease is held continuously, and
 every stage appends its own ``<name>.log`` under ``benchmarks/hw_logs/r4``
 exactly where the shell queue's per-step logs would have gone.
 
-Contract with tools/hw_round4.sh:
+Contract with tools/hw_round5.sh:
   * exit 0  — every stage attempted (individual stages may still have
     failed; their logs record the traceback, and FAILED lines appear in
     the queue log).
@@ -18,6 +18,10 @@ Contract with tools/hw_round4.sh:
     wedged mid-combo.  The shell queue treats this like a wedge (abort,
     resume this step on the next recovery); the combo's own resume file
     (``.combo_resume_<group>``) skips stages that already ran.
+  * exit 4  — the deadline passed with stages still unlaunched.  The shell
+    queue must KEEP its resume pointer at this step (r4 advisor finding:
+    exiting 0 here advanced the pointer and silently skipped the remaining
+    stages on every later resume).
   * a hang (lease death inside a stage's compile) is bounded by the
     per-stage watchdog, which also exits 3 — by then the client is already
     wedged, so the hard exit cannot sacrifice a healthy lease (CLAUDE.md
@@ -41,7 +45,8 @@ import threading
 import time
 import traceback
 
-LOG_DIR = os.environ.get("HW_LOG_DIR", "benchmarks/hw_logs/r4")
+LOG_DIR = os.environ.get("HW_LOG_DIR", "benchmarks/hw_logs/r5")
+STATUS_FILE = os.environ.get("HW_STATUS_FILE", "benchmarks/hw_logs/STATUS.md")
 STAGE_BUDGET = float(os.environ.get("HW_COMBO_STAGE_TIMEOUT", "2400"))
 PROBE_TIMEOUT = float(os.environ.get("HW_COMBO_PROBE_TIMEOUT", "240"))
 
@@ -53,6 +58,29 @@ _REAL_OUT = os.dup(1)
 
 def say(msg: str) -> None:
     os.write(_REAL_OUT, (msg + "\n").encode())
+
+
+def status_line(name: str, ok: bool, dur: float, logpath: str) -> None:
+    """Append one PASS/FAIL line (with the failing assertion, if any) to the
+    committed status file — r4's two failed hardware checks were invisible
+    to the next session because nothing surfaced them outside the logs."""
+    detail = ""
+    if not ok:
+        try:
+            lines = [l.strip() for l in open(logpath, errors="replace")
+                     if l.strip()]
+            err = next((l for l in reversed(lines)
+                        if "Error" in l or "assert" in l.lower()), "")
+            detail = f" — `{err[:200]}`" if err else ""
+        except OSError:
+            pass
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        with open(STATUS_FILE, "a") as f:
+            f.write(f"- {stamp} **{name}** {'PASS' if ok else 'FAIL'} "
+                    f"({dur:.0f}s, {logpath}){detail}\n")
+    except OSError:
+        pass
 
 
 _last_progress = [time.time()]
@@ -142,6 +170,7 @@ def run_stage(idx: int, name: str, module: str, argv: list[str],
         _restore_prng_default()
     say(f"[combo {idx}] {name} {'ok' if ok else 'FAILED'} "
         f"({time.time() - t0:.0f}s, {logpath})")
+    status_line(name, ok, time.time() - t0, logpath)
     _last_progress[0] = time.time()
     return ok
 
@@ -153,6 +182,7 @@ GROUPS: dict[str, list[tuple]] = {
     "checks": [
         ("wn_check", "tools.wn_check", [], None),
         ("enc_check", "tools.enc_check", [], None),
+        ("fused_check", "tools.fused_check", [], None),
         ("attn_check", "tools.attn_check", [], None),
         ("flash_check", "tools.flash_check", [], None),
     ],
@@ -160,6 +190,8 @@ GROUPS: dict[str, list[tuple]] = {
         # default aux suite, per metric (each merges into results.json)
         ("bench_lm_samp", RB, ["--only", "lm"], None),
         ("bench_glow_rtf", RB, ["--only", "glow"], None),
+        # full text->waveform RTF vs the BASELINE <0.05 target (r4 next #5)
+        ("bench_e2e_rtf", RB, ["--only", "e2e_rtf"], None),
         ("bench_glow_tr", RB, ["--only", "glow_train"], None),
         ("bench_mas", RB, ["--only", "mas"], None),
         ("bench_vqtts_tr", RB, ["--only", "vqtts_train"], None),
@@ -210,29 +242,39 @@ def main() -> None:
         resume = 0
     threading.Thread(target=_stage_watchdog, daemon=True).start()
     failed = []
+    launched = 0
+    deadline_break = False
     for idx, (name, module, argv, env) in enumerate(stages):
         if idx < resume:
             say(f"[combo {idx}] skip {name} (already ran)")
             continue
         # deadline guard (tools/tpu_watcher.sh): never LAUNCH a stage past
         # it — the driver's round-end bench.py needs the lease to itself.
-        # Exit 0: completed stages' logs stand; .combo_resume picks up here.
+        # Exit 4 (distinct from success): completed stages' logs stand, the
+        # shell queue keeps its pointer HERE, and .combo_resume picks up at
+        # this stage on the next recovery (r4 advisor finding: exiting 0
+        # advanced the shell pointer past the unfinished combo).
         try:
             deadline = float(open(os.path.join(LOG_DIR, ".deadline")).read())
         except (OSError, ValueError):
             deadline = None
         if deadline is not None and time.time() >= deadline:
             say(f"[combo {idx}] DEADLINE passed — stopping before {name}")
+            deadline_break = True
             break
+        launched += 1
         if not run_stage(idx, name, module, argv, env):
             failed.append(name)
         with open(resume_file, "w") as f:
             f.write(str(idx + 1))
-    say(f"combo {group} DONE — {len(stages) - resume - len(failed)} ok, "
-        f"{len(failed)} failed{': ' + ', '.join(failed) if failed else ''}")
-    summary = {"combo": group, "failed": failed,
+    say(f"combo {group} DONE — {launched - len(failed)} ok of {launched} "
+        f"launched ({len(stages)} total), {len(failed)} failed"
+        f"{': ' + ', '.join(failed) if failed else ''}")
+    summary = {"combo": group, "failed": failed, "launched": launched,
                "stages": [s[0] for s in stages]}
     say(json.dumps(summary))
+    if deadline_break:
+        sys.exit(4)
 
 
 if __name__ == "__main__":
