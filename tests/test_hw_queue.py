@@ -40,7 +40,7 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 SCRIPT = REPO / "tools" / "hw_round5.sh"
 
-STEPS = ["combo_checks", "bench", "combo_rest", "train_smoke"]
+STEPS = ["combo_checks", "bench", "train_smoke", "combo_rest"]
 
 
 def _write_stub_python(tmp_path: Path, body: str) -> Path:
@@ -125,8 +125,10 @@ def test_mid_queue_wedge_resumes_where_it_left_off(tmp_path):
     bindir = _write_stub_python(tmp_path, body)
     proc, log, _ = _run_queue(tmp_path, bindir)
     assert proc.returncode == 1
-    # bench is step 2; it ran, then the probe before step 3 failed
+    # bench is step 2; it ran, then the probe before step 3 (train_smoke)
+    # failed
     assert (log / "bench.log").exists()
+    assert not (log / "train_smoke.log").exists()
     assert not (log / "combo_rest.log").exists()
     resume = _resume_step(log)
     assert resume == 3
@@ -192,12 +194,13 @@ def test_combo_wedge_signal_resumes_at_same_step(tmp_path):
     proc, log, _ = _run_queue(tmp_path, bindir)
     assert proc.returncode == 1
     assert "wedged lease (rc=3)" in proc.stdout
-    assert _resume_step(log) == 3  # combo_rest is step 3; resume AT it
-    assert not (log / ".retried_3").exists()
+    assert _resume_step(log) == 4  # combo_rest is step 4; resume AT it
+    assert not (log / ".retried_4").exists()
     # next recovery: combo healthy -> queue completes from the same step
-    proc2, log2, _ = _run_queue(tmp_path, bindir, start=3)
+    proc2, log2, _ = _run_queue(tmp_path, bindir, start=4)
     assert proc2.returncode == 0
-    assert (log2 / "train_smoke.log").exists()
+    assert "ALL DONE" in proc2.stdout
+    assert _resume_step(log2) == len(STEPS) + 1
 
 
 def test_combo_deadline_break_keeps_pointer_and_exits_zero(tmp_path):
@@ -210,8 +213,8 @@ def test_combo_deadline_break_keeps_pointer_and_exits_zero(tmp_path):
     proc, log, _ = _run_queue(tmp_path, bindir)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "deadline (rc=4)" in proc.stdout
-    assert _resume_step(log) == 3  # combo_rest is step 3; resume AT it
-    assert not (log / "train_smoke.log").exists()  # later steps not run
+    assert _resume_step(log) == 4  # combo_rest is step 4; resume AT it
+    assert (log / "train_smoke.log").exists()  # earlier steps DID run
     assert "**combo_rest** DEFERRED" in _status(tmp_path)
 
 

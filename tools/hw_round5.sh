@@ -141,17 +141,19 @@ run combo_checks   python -m tools.hw_combo checks
 #    prints a structured skipped record and must stay independently runnable)
 run bench          python bench.py
 
-# 3. everything else in one process: per-metric aux suite (merges into
-#    results.json), e2e synthesis RTF, device traces, dispatch probes, A/B
-#    variants (--no-save)
-run -t "${HW_COMBO_TIMEOUT:-21600}" combo_rest python -m tools.hw_combo rest
-
-# 4. real-CLI train smoke on the chip (verify-skill recipe; needs ./data)
+# 3. real-CLI train smoke on the chip (verify-skill recipe; needs ./data).
+#    BEFORE the long combo tail: it is ~10 min and closes a two-round-old
+#    red item (r4 weak #6), while combo_rest can consume the whole window.
 run train_smoke    python train.py --model tests/fixtures/vqvae_tiny.yaml \
                        --dataset tests/fixtures/ljspeech_tiny.yaml \
                        --log_dir /tmp/hw_r5_smoke --batch_size 2 --total_epochs 1 \
                        --log_every_n_steps 2 --ckpt_every_n_steps 4 \
                        --eval_every_n_epochs 1 --max_steps 6
+
+# 4. everything else in one process: per-metric aux suite (merges into
+#    results.json), e2e synthesis RTF, device traces, dispatch probes, A/B
+#    variants (--no-save)
+run -t "${HW_COMBO_TIMEOUT:-21600}" combo_rest python -m tools.hw_combo rest
 
 echo "ALL DONE — summaries:"
 grep -h '"metric"' "$LOG"/*.log 2>/dev/null | head -40
