@@ -82,12 +82,17 @@ def _probe_backend(timeout_s: float):
 
 
 def main():
-    # 300 s for ONE tiny op (init + ones(8,8).sum()): far above any healthy
-    # cold-init + tunnel latency seen on this image (seconds), so the
-    # watchdog's hard exit only ever fires on a genuinely wedged lease —
-    # hard-exiting a trivial-op client is the documented probe-recovery
-    # pattern (CLAUDE.md), unlike SIGTERM during a long compile.
-    _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", "300")))
+    # 600 s for ONE tiny op (init + ones(8,8).sum()): healthy cold-init +
+    # tunnel latency is seconds, but the lease's post-process handover has
+    # been observed to stall a new client's first op for 5-15 MINUTES before
+    # completing (r5, 22:20 UTC Aug 19: a 300 s probe declared "wedged" on a
+    # lease that a process 5 min earlier and one 20 min later both used
+    # fine). Waiting longer on a trivial op is free; skipping the round's
+    # headline record is not. The watchdog's hard exit only fires on a
+    # genuinely dead lease — hard-exiting a trivial-op client is the
+    # documented probe-recovery pattern (CLAUDE.md), unlike SIGTERM during
+    # a long compile.
+    _probe_backend(float(os.environ.get("BENCH_PROBE_TIMEOUT", "600")))
     import jax
 
     from speech_masters_thesis_tpu.models.ema import default_mu
