@@ -48,7 +48,13 @@ import traceback
 LOG_DIR = os.environ.get("HW_LOG_DIR", "benchmarks/hw_logs/r5")
 STATUS_FILE = os.environ.get("HW_STATUS_FILE", "benchmarks/hw_logs/STATUS.md")
 STAGE_BUDGET = float(os.environ.get("HW_COMBO_STAGE_TIMEOUT", "2400"))
-PROBE_TIMEOUT = float(os.environ.get("HW_COMBO_PROBE_TIMEOUT", "240"))
+# Post-process lease handover has stalled a new client's first op for
+# 5-15 min on this image (observed 22:00-23:00 UTC Aug 19) before completing
+# normally. Riding the stall out inside THIS process is strictly better than
+# exit-3 + watcher-cycle (teardown risks re-wedging; the retry costs ~15 min
+# anyway), so the probe waits up to 900 s; only a genuinely dead lease pays
+# the full wait.
+PROBE_TIMEOUT = float(os.environ.get("HW_COMBO_PROBE_TIMEOUT", "900"))
 
 # fd 1 as it was at entry: stage stdout/stderr get redirected to the stage
 # log at the fd level (captures XLA/absl C-level output too), status lines

@@ -27,7 +27,10 @@ LOG="${HW_LOG_DIR:-benchmarks/hw_logs/r5}"
 DEST="${HW_RECORDS_DIR:-benchmarks/hw_logs}"
 STATUS="${HW_STATUS_FILE:-benchmarks/hw_logs/STATUS.md}"
 STEP_TIMEOUT="${HW_STEP_TIMEOUT:-2400}"
-PROBE_TIMEOUT="${HW_PROBE_TIMEOUT:-90}"
+# Probe timeout rides out the 5-15 min post-process handover stalls observed
+# on this image (a first op that completes normally after several minutes):
+# 2 tries x 420 s + pause covers ~15 min before declaring the lease dead.
+PROBE_TIMEOUT="${HW_PROBE_TIMEOUT:-420}"
 mkdir -p "$LOG"
 START=${1:-0}
 N=0
@@ -40,11 +43,11 @@ probe() {
     # Right after a TPU process exits, the remote lease can take a minute+
     # to hand over — a single failed one-op probe there is NOT a wedge.
     # Retry a few times with a pause before declaring the lease dead.
-    local tries="${HW_PROBE_TRIES:-3}"
+    local tries="${HW_PROBE_TRIES:-2}"
     for _ in $(seq 1 "$tries"); do
         timeout "$PROBE_TIMEOUT" python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" \
             > /dev/null 2>&1 && return 0
-        sleep "${HW_PROBE_PAUSE:-45}"
+        sleep "${HW_PROBE_PAUSE:-60}"
     done
     return 1
 }
