@@ -22,7 +22,7 @@ past_deadline() {
   local d
   d=$(cat benchmarks/hw_logs/r5/.deadline 2>/dev/null) || return 1
   d=${d%%.*}
-  [ -n "$d" ] && [ "$(($(date +%s) + 120))" -ge "$d" ]
+  [ -n "$d" ] && [ "$(($(date +%s) + 540))" -ge "$d" ]  # margin = its own 420 s probe
 }
 for i in $(seq 1 80); do
   if past_deadline; then
@@ -30,7 +30,10 @@ for i in $(seq 1 80); do
     exit 0
   fi
   echo "$(date +%H:%M:%S) probe $i" >> /tmp/tpu_probe_r5.log
-  if timeout 75 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" >> /tmp/tpu_probe_r5.log 2>&1; then
+  # 420 s: the lease's post-process handover stalls a first op 5-15 min on
+  # this image before completing — a short probe keeps missing a lease that
+  # is actually usable (observed 22:00-23:00 UTC Aug 19).
+  if timeout 420 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((8,8)).sum()))" >> /tmp/tpu_probe_r5.log 2>&1; then
     echo "TPU RECOVERED at $(date)" >> /tmp/tpu_probe_r5.log
     touch /tmp/tpu_ok /tmp/hw_r5_running
     RESUME=$(cat benchmarks/hw_logs/r5/.resume_step 2>/dev/null || echo 0)
