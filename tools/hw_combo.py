@@ -264,8 +264,14 @@ def main() -> None:
             deadline = float(open(os.path.join(LOG_DIR, ".deadline")).read())
         except (OSError, ValueError):
             deadline = None
-        if deadline is not None and time.time() >= deadline:
-            say(f"[combo {idx}] DEADLINE passed — stopping before {name}")
+        # Launch margin: a stage launched just before the deadline can hold
+        # the lease up to STAGE_BUDGET past it (r4 advisor finding). 600 s
+        # covers a typical stage; a stage that still overruns is hung on a
+        # dead lease (watchdog exit 3), where the driver's bench would have
+        # skipped anyway.
+        margin = float(os.environ.get("HW_COMBO_DEADLINE_MARGIN", "600"))
+        if deadline is not None and time.time() + margin >= deadline:
+            say(f"[combo {idx}] DEADLINE margin — stopping before {name}")
             deadline_break = True
             break
         launched += 1
