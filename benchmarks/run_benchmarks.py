@@ -384,8 +384,11 @@ def build_glow_step(quick: bool = False):
             # fused Pallas coupling conditioner (ops/pallas/wn_coupling.py);
             # GLOW_FUSED=0 opts out for A/B timing
             "fused_blocks": os.environ.get("GLOW_FUSED", "1") == "1",
-            # A/B: whole-flow-step kernel (default) vs conditioner-only fusion
-            "fused_flow_step": os.environ.get("GLOW_FLOW_STEP", "1") == "1",
+            # A/B: whole-flow-step kernel vs conditioner-only fusion.
+            # Default OFF to match glow_tts_tpu.yaml: the r5 chip A/B
+            # measured 19.52 ms/step flow-step-fused vs 15.93 ms
+            # conditioner-only (benchmarks/hw_logs/r5/glow_condonly.log).
+            "fused_flow_step": os.environ.get("GLOW_FLOW_STEP", "0") == "1",
             # A/B: fused TextEncoder layers (ops/pallas/enc_layer.py);
             # follows GLOW_FUSED unless GLOW_ENC overrides
             "fused_encoder": os.environ.get(
@@ -660,10 +663,11 @@ def build_vqtts_step(quick: bool = False):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     name = "vqtts_tpu.yaml" if fused else "vqtts.yaml"
     config = load_config(os.path.join(repo, "configs", "models", name))
-    # A/B: fused TextEncoder layers (ops/pallas/enc_layer.py); follows the
-    # codec-fusion default unless VQTTS_ENC overrides
+    # A/B: fused TextEncoder layers (ops/pallas/enc_layer.py). Default OFF
+    # to match vqtts_tpu.yaml: the r5 chip A/B measured 26.79 ms/step fused
+    # vs 25.57 ms flax (benchmarks/hw_logs/r5/vqtts_noenc.log).
     config = config.merge(Config({"model": {"fused_encoder": os.environ.get(
-        "VQTTS_ENC", "1" if fused else "0") == "1"}}))
+        "VQTTS_ENC", "0") == "1"}}))
     config = config.merge(load_config(os.path.join(repo, "configs", "datasets", "ljspeech.yaml")))
     batch, seconds, tokens = (2, 1.0, 24) if quick else (4, 2.0, 64)
     config = config.merge(Config({"train": {

@@ -213,22 +213,37 @@ class STFT:
     def inverse(self, magnitude: jnp.ndarray, phase: jnp.ndarray) -> jnp.ndarray:
         """[B, frames, cutoff] x2 -> [B, T]; window-sumsquare-corrected iSTFT.
 
-        Reference transforms.py:125-156. Used by Griffin-Lim artifact
-        inversion; not on the train hot path.
+        Reference transforms.py:125-156 expresses this as a conv_transpose
+        against the pinv DFT basis; on TPU that lowering (1024-tap kernel,
+        1026 channels -> 1) is pathological — the same class of conv XLA
+        lowered at ~60x cost in the forward direction (see the rejected
+        conv-against-DFT-basis STFT in BASELINE.md). Round 5: Griffin-Lim
+        runs 33 of these per utterance and the conv_transpose was ~97% of
+        the measured e2e synthesis RTF (0.250 vs the <0.05 target). Same
+        math, TPU-shaped: one [2*cutoff, n_fft] MXU matmul per frame, then
+        overlap-add as Q = ceil(n_fft/hop) contiguous reshape-adds — the
+        exact mirror of ``_frames`` (no scatter, dense backward).
         """
         n_frames = magnitude.shape[1]
         rec = jnp.concatenate([magnitude * jnp.cos(phase), magnitude * jnp.sin(phase)], axis=-1)
-        # transposed conv = lhs-dilated conv with flipped kernel
-        kernel = jnp.asarray(self.inverse_basis.T[:, None, :])  # [n_fft, 1, 2*cutoff]
-        out = jax.lax.conv_transpose(
-            rec, kernel,
-            strides=(self.hop_length,),
-            padding="VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            transpose_kernel=True,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [B, n, 1]
-        out = out[:, :, 0]
+        frames_t = jnp.einsum(
+            "bfc,cn->bfn", rec, jnp.asarray(self.inverse_basis),
+            precision=jax.lax.Precision.HIGHEST)  # [B, frames, n_fft]
+        hop, n_fft = self.hop_length, self.n_fft
+        n = (n_frames - 1) * hop + n_fft
+        n_chunks = -(-n_fft // hop)
+        batch = frames_t.shape[0]
+        total = (n_chunks - 1) * hop + n_frames * hop
+        out = jnp.zeros((batch, total), frames_t.dtype)
+        for q in range(n_chunks):
+            width = min(hop, n_fft - q * hop)
+            piece = frames_t[..., q * hop:q * hop + width]
+            if width < hop:  # last chunk: pad to hop so frames tile densely
+                piece = jnp.pad(piece, ((0, 0), (0, 0), (0, hop - width)))
+            flat = piece.reshape(batch, n_frames * hop)
+            out = out + jnp.pad(
+                flat, ((0, 0), (q * hop, total - q * hop - n_frames * hop)))
+        out = out[:, :n]
         wss = window_sumsquare(self.window, n_frames, self.hop_length, self.n_fft)
         tiny = np.finfo(np.float32).tiny
         correction = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0).astype(np.float32)
