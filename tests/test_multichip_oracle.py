@@ -22,7 +22,10 @@ def test_equality_oracle_catches_miswired_shard():
     config = graft._tiny_vqvae_config(full_size=False)
     config.train.batch_size = 8
     rng = np.random.RandomState(0)
-    t = 2048
+    # t=1024 matches dryrun_multichip's audio length (both codec downsample
+    # factors divide it) — half the conv work of the original t=2048 and the
+    # same program shapes the dryrun warms in the persistent cache.
+    t = 1024
     batch = {
         "audio": rng.uniform(-0.5, 0.5, (8, t)).astype(np.float32),
         "audio_len": np.full((8,), t, np.int32),
@@ -43,6 +46,8 @@ def test_equality_oracle_catches_miswired_shard():
                                perturb=miswire)
 
     # and the clean batch passes
-    scal = graft._equality_oracle(config, mesh, mesh1, batch, 8, "vqvae")
+    scal, variables = graft._equality_oracle(config, mesh, mesh1, batch, 8,
+                                             "vqvae")
     assert np.isfinite(scal["loss"])
+    assert "params" in variables  # init tree returned for the multistep reuse
     make_data_mesh(devices)
