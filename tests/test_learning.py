@@ -56,13 +56,15 @@ def test_vqvae_loss_decreases_and_codebook_trains():
 
     # a fixed batch of structured audio (sines): the model should overfit fast
     rng = np.random.RandomState(0)
-    t = np.arange(2048) / 22050.0
+    # t=1024 (halved for suite wall time): still 8 latent frames at the
+    # 128x downsampling, and the sine batch overfits just as decisively.
+    t = np.arange(1024) / 22050.0
     audio = np.stack([
         0.5 * np.sin(2 * np.pi * rng.uniform(100, 400) * t) for _ in range(8)
     ]).astype(np.float32)
     batch = shard_batch(mesh, {
         "audio": audio,
-        "audio_len": np.full((8,), 2048, np.int32),
+        "audio_len": np.full((8,), 1024, np.int32),
         "speaker": None,
     })
 

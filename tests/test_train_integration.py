@@ -54,7 +54,11 @@ TINY_TRAIN = {
 }
 
 
-def make_batch(batch_size=8, t=2048, seed=0):
+def make_batch(batch_size=8, t=1024, seed=0):
+    # t=1024: the smallest power of two the 128x codec downsampling divides
+    # that still spans >1 latent frame per level; matches the multichip
+    # dryrun/oracle audio length so warm-cache runs share programs. Halved
+    # from 2048 for suite wall time (VERDICT r4 #8).
     rng = np.random.RandomState(seed)
     return {
         "audio": rng.uniform(-0.5, 0.5, (batch_size, t)).astype(np.float32),
